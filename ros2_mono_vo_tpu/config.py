@@ -1,0 +1,141 @@
+"""Configuration system.
+
+Mirrors the reference's three-tier parameter scheme (YAML defaults -> ROS
+parameter server -> `RosParameterHandler::declare_and_get`, reference
+`include/mono_vo/ros_parameter_handler.hpp:42-64`, `config/params.yaml:1-24`)
+with frozen dataclasses: identical parameter names and defaults so reference
+configs translate 1:1. Static (shape-determining, hashable) capacities are
+split from the numeric thresholds so configs can be passed as jit static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class InitializerConfig:
+    """Two-view bootstrap parameters (reference `config/params.yaml:4-11`,
+    defaults also at `initializer.cpp:18-46`)."""
+
+    occupancy_grid_div: int = 50
+    kp_distribution_thresh: float = 0.5
+    lowes_distance_ratio: float = 0.7
+    min_matches_for_init: int = 100
+    ransac_reproj_thresh: float = 1.0
+    f_inlier_thresh: float = 0.5
+    model_score_thresh: float = 0.56
+    # Not in the reference YAML but hardcoded in the reference:
+    # findEssentialMat(RANSAC, conf 0.99, thresh 1.0) at initializer.cpp:228-229
+    essential_ransac_thresh: float = 1.0
+    # <4 triangulated points => reset (initializer.cpp:246-249, 268-272)
+    min_triangulated_points: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Main-loop tracking parameters (reference `config/params.yaml:14-24`,
+    defaults at `tracker.cpp:15-56`)."""
+
+    tracking_error_thresh: float = 30.0
+    min_observations_before_triangulation: int = 100
+    min_tracked_points: int = 10
+    max_tracking_after_keyframe: int = 10
+    max_rotation_from_keyframe: float = 0.261799388  # 15 degrees
+    max_translation_from_keyframe: float = 1.0
+    ransac_reproj_thresh: float = 1.0
+    model_score_thresh: float = 0.85
+    f_inlier_thresh: float = 0.5
+    lowes_distance_ratio: float = 0.7
+    # The reference hardcodes solvePnPRansac(iter=100, reproj=8.0, conf=0.99)
+    # and ignores its own ransac_reproj_thresh there (tracker.cpp:309, a
+    # documented quirk in SURVEY.md section 3). We expose them explicitly.
+    pnp_reproj_thresh: float = 8.0
+    pnp_iterations: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Static capacities and kernel shape parameters (TPU-native: these fix
+    every array shape so nothing recompiles at runtime).
+
+    The feature budget mirrors `FeatureProcessor(1000)` (reference
+    `mono_vo.cpp:15`, `feature_processor.hpp:15`) rounded up to the TPU lane
+    multiple.
+    """
+
+    max_features: int = 1024          # >= reference's 1000, lane-aligned
+    descriptor_bits: int = 256        # ORB-style 256-bit binary descriptor
+    num_pyramid_levels: int = 8       # cv::ORB default nlevels
+    pyramid_scale: float = 1.2        # cv::ORB default scaleFactor
+    fast_threshold: float = 20.0      # cv::ORB default fastThreshold
+    patch_size: int = 31              # cv::ORB default patchSize/edgeThreshold
+    # Lucas-Kanade (cv::calcOpticalFlowPyrLK defaults: win 21, 3 extra levels,
+    # 30 iters / 0.01 eps; reference overrides nothing, tracker.cpp:68-69)
+    lk_window: int = 21
+    lk_levels: int = 4
+    lk_iterations: int = 10
+    # RANSAC hypothesis batch (hypothesis-parallel engine)
+    ransac_hypotheses: int = 512
+    # Map capacities
+    max_landmarks: int = 16384
+    max_keyframes: int = 64
+
+    @property
+    def pyramid_scales(self) -> tuple[float, ...]:
+        return tuple(self.pyramid_scale ** i for i in range(self.num_pyramid_levels))
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    """Sliding-window BA / pose-graph parameters (roadmap items,
+    BASELINE.json configs 4-5)."""
+
+    window_size: int = 16             # keyframes in the local BA window
+    lm_iterations: int = 10
+    lm_lambda_init: float = 1e-3
+    lm_lambda_factor: float = 10.0
+    huber_delta: float = 2.0          # pixels, robust loss on reprojection
+    max_window_landmarks: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    initializer: InitializerConfig = InitializerConfig()
+    tracker: TrackerConfig = TrackerConfig()
+    frontend: FrontendConfig = FrontendConfig()
+    backend: BackendConfig = BackendConfig()
+
+    @staticmethod
+    def from_params_yaml(params: Mapping[str, Any]) -> "VOConfig":
+        """Build from a dict shaped like the reference's params.yaml
+        (`mono_vo.ros__parameters.{initializer,tracker}.*`)."""
+        root = params.get("mono_vo", params)
+        root = root.get("ros__parameters", root)
+        init_kw = dict(root.get("initializer", {}))
+        trk_kw = dict(root.get("tracker", {}))
+        init_fields = {f.name for f in dataclasses.fields(InitializerConfig)}
+        trk_fields = {f.name for f in dataclasses.fields(TrackerConfig)}
+        return VOConfig(
+            initializer=InitializerConfig(
+                **{k: v for k, v in init_kw.items() if k in init_fields}),
+            tracker=TrackerConfig(
+                **{k: v for k, v in trk_kw.items() if k in trk_fields}),
+        )
+
+
+def level_feature_budget(cfg: FrontendConfig) -> tuple[int, ...]:
+    """Per-pyramid-level feature budget with the ORB-style geometric split:
+    level i gets a share proportional to (1/scale)^i, summing to max_features.
+    """
+    inv = [1.0 / (cfg.pyramid_scale ** i) for i in range(cfg.num_pyramid_levels)]
+    total = sum(inv)
+    raw = [cfg.max_features * v / total for v in inv]
+    out = [int(math.floor(r)) for r in raw]
+    # distribute the remainder to the finest levels
+    rem = cfg.max_features - sum(out)
+    for i in range(rem):
+        out[i % len(out)] += 1
+    return tuple(out)

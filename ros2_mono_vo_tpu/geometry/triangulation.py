@@ -1,0 +1,94 @@
+"""Batched DLT triangulation with chirality filtering.
+
+TPU-native replacement for cv::triangulatePoints +
+cv::convertPointsFromHomogeneous and the two chirality loops in the reference
+(`initializer.cpp:112-163`, `tracker.cpp:138-180`): all points triangulate in
+one batched 4x4 symmetric eigendecomposition; the per-point chirality loop
+becomes a mask.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _smallest_eigvec_sym4(A: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvector of the smallest eigenvalue of symmetric [..., 4, 4]."""
+    w, v = jnp.linalg.eigh(A)  # ascending eigenvalues
+    return v[..., :, 0]
+
+
+def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray,
+                    uv1: jnp.ndarray, uv2: jnp.ndarray,
+                    eps: float = 1e-9) -> jnp.ndarray:
+    """DLT triangulation of point pairs.
+
+    Args:
+      P1, P2: [3, 4] projection matrices (K @ [R|t]).
+      uv1, uv2: [N, 2] pixel correspondences.
+
+    Returns:
+      [N, 3] triangulated points in the frame the Ps are expressed in.
+    """
+    def rows(P, uv):
+        u = uv[..., 0:1]
+        v = uv[..., 1:2]
+        r0 = u * P[2] - P[0]      # [N, 4]
+        r1 = v * P[2] - P[1]
+        return r0, r1
+
+    a0, a1 = rows(P1, uv1)
+    a2, a3 = rows(P2, uv2)
+    A = jnp.stack([a0, a1, a2, a3], axis=-2)          # [N, 4, 4]
+    # Row-normalize for conditioning, then take the null vector of A^T A.
+    norms = jnp.linalg.norm(A, axis=-1, keepdims=True)
+    A = A / jnp.clip(norms, eps, None)
+    X = _smallest_eigvec_sym4(jnp.swapaxes(A, -1, -2) @ A)  # [N, 4]
+    w = X[..., 3:4]
+    ws = jnp.where(jnp.abs(w) < eps, jnp.where(w < 0, -eps, eps), w)
+    return X[..., :3] / ws
+
+
+def chirality_mask(T1_cw: jnp.ndarray, T2_cw: jnp.ndarray,
+                   pts: jnp.ndarray, min_z: float = 0.0) -> jnp.ndarray:
+    """Points in front of BOTH cameras (z > min_z in each camera frame).
+
+    Matches the reference's tracker-side check (`tracker.cpp:155-161`): both
+    cameras via full transform. (The initializer variant at
+    `initializer.cpp:134-144` tests ref z directly because T1 = I there —
+    numerically identical.)
+    """
+    def cam_z(T, p):
+        R, t = T[..., :3, :3], T[..., :3, 3]
+        return (p @ jnp.swapaxes(R, -1, -2) + t[..., None, :])[..., 2]
+
+    return (cam_z(T1_cw, pts) > min_z) & (cam_z(T2_cw, pts) > min_z)
+
+
+def triangulate_and_filter(K: jnp.ndarray,
+                           T1_cw: jnp.ndarray, T2_cw: jnp.ndarray,
+                           uv1: jnp.ndarray, uv2: jnp.ndarray,
+                           valid: jnp.ndarray | None = None,
+                           max_depth: float = 1e6):
+    """Triangulate correspondences and build the keep-mask.
+
+    Args:
+      K: [3, 3].
+      T1_cw, T2_cw: [4, 4] world->camera extrinsics of the two views.
+      uv1, uv2: [N, 2] pixel correspondences.
+      valid: optional [N] bool mask of real (non-padding) correspondences.
+
+    Returns:
+      (pts_w [N, 3], keep [N] bool) — world points; keep = valid & chirality
+      & finite & bounded depth.
+    """
+    P1 = K @ T1_cw[:3, :4]
+    P2 = K @ T2_cw[:3, :4]
+    pts = triangulate_dlt(P1, P2, uv1, uv2)
+    keep = chirality_mask(T1_cw, T2_cw, pts)
+    finite = jnp.all(jnp.isfinite(pts), axis=-1)
+    bounded = jnp.linalg.norm(pts, axis=-1) < max_depth
+    keep = keep & finite & bounded
+    if valid is not None:
+        keep = keep & valid
+    return pts, keep

@@ -1,0 +1,30 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+The distributed tests (SURVEY.md section 4, "Distributed tests") need multiple
+devices; single-chip kernels are platform-agnostic, so CPU keeps the suite
+fast and hermetic. Set VO_TEST_TPU=1 to run on real TPU hardware instead.
+"""
+
+import os
+import sys
+
+if not os.environ.get("VO_TEST_TPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    # The image's sitecustomize pins JAX_PLATFORMS=axon (real TPU via a
+    # tunnel); jax.config still wins if applied before backend init.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
