@@ -1,0 +1,316 @@
+"""Batched ORB-style feature front-end as pure XLA ops.
+
+TPU-native replacement for `cv::ORB::detectAndCompute` (reference
+`feature_processor.cpp:12-23`): FAST-9/16 corner masks via shifted-image
+algebra, Harris ranking (ORB's HARRIS_SCORE), intensity-centroid orientation,
+and a steered 256-bit BRIEF-style binary descriptor — everything batched over
+fixed-capacity keypoint slots with validity masks so shapes never change.
+
+Divergences from OpenCV by design (parity bar is trajectory ATE, not
+descriptor equality — SURVEY.md section 7 "Hard parts"):
+  - the BRIEF sampling pattern is our own deterministic Gaussian pattern,
+    not OpenCV's learned table;
+  - FAST score is the sum-of-absolute-margins variant, with Harris used for
+    the final ranking (same ranking OpenCV applies).
+
+Descriptors are returned as +/-1 float arrays [N, 256] so Hamming distance
+becomes one MXU matmul: ham = (B - a.b)/2 (see ops/matching.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros2_mono_vo_tpu.config import FrontendConfig, level_feature_budget
+
+# FAST-9/16 Bresenham circle of radius 3, as (drow, dcol), starting at
+# 12 o'clock and going clockwise.
+_FAST_CIRCLE = np.array(
+    [(-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+     (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1)],
+    dtype=np.int32)
+
+_ARC_LEN = 9  # FAST-9: need 9 contiguous brighter/darker pixels
+
+# Deterministic BRIEF-style test pattern: 256 point pairs ~ N(0, (patch/5)^2),
+# clipped to the 31x31 patch. Fixed seed => identical descriptors across runs.
+_PATCH_RADIUS = 15
+
+
+def _make_brief_pattern(bits: int = 256, seed: int = 20260817) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    sigma = (2 * _PATCH_RADIUS + 1) / 5.0
+    pts = rng.normal(0.0, sigma, size=(bits, 2, 2))
+    return np.clip(pts, -(_PATCH_RADIUS - 2), _PATCH_RADIUS - 2).astype(np.float32)
+
+
+_BRIEF_PATTERN = _make_brief_pattern()
+
+
+class Features(NamedTuple):
+    """Fixed-capacity feature set (replaces the reference's
+    std::vector<Observation>, frame.hpp:10-20, with masked slots)."""
+
+    uv: jnp.ndarray        # [N, 2] (x, y) pixel coords at level 0 scale
+    response: jnp.ndarray  # [N] Harris response used for ranking
+    angle: jnp.ndarray     # [N] orientation in radians
+    level: jnp.ndarray     # [N] int32 pyramid level
+    desc: jnp.ndarray      # [N, B] float32 in {-1, +1}
+    valid: jnp.ndarray     # [N] bool
+
+
+def build_pyramid(image: jnp.ndarray, num_levels: int, scale: float) -> list[jnp.ndarray]:
+    """Image pyramid with geometric rescale (cv::ORB scaleFactor semantics).
+
+    Uses bilinear resize per level from level 0 (matches OpenCV's
+    INTER_LINEAR resize chain closely enough for ATE parity).
+    """
+    h, w = image.shape
+    levels = [image]
+    for i in range(1, num_levels):
+        hi = max(int(round(h / scale ** i)), 16)
+        wi = max(int(round(w / scale ** i)), 16)
+        levels.append(jax.image.resize(image, (hi, wi), method="bilinear"))
+    return levels
+
+
+def _shift2d(img: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
+    """Shift so out[r, c] = img[r + dr, c + dc] (border wraps; borders are
+    masked out downstream)."""
+    return jnp.roll(img, shift=(-dr, -dc), axis=(0, 1))
+
+
+def fast_corner_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST-9/16 corner score map.
+
+    Returns [H, W]: 0 for non-corners, else the sum of absolute margins
+    |circle - center| - t over the out-of-band circle pixels.
+    """
+    center = img
+    circle = jnp.stack([_shift2d(img, int(dr), int(dc)) for dr, dc in _FAST_CIRCLE])
+    bright = circle > (center + threshold)[None]
+    dark = circle < (center - threshold)[None]
+
+    def has_arc(mask16):
+        # mask16: [16, H, W] bool. Check any window of 9 contiguous (cyclic).
+        acc = jnp.zeros(mask16.shape[1:], dtype=bool)
+        for s in range(16):
+            window = mask16[s]
+            for j in range(1, _ARC_LEN):
+                window = window & mask16[(s + j) % 16]
+            acc = acc | window
+        return acc
+
+    is_corner = has_arc(bright) | has_arc(dark)
+    margin = jnp.abs(circle - center[None]) - threshold
+    score = jnp.sum(jnp.where(bright | dark, margin, 0.0), axis=0)
+    return jnp.where(is_corner, score, 0.0)
+
+
+def _conv2(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    k = jnp.asarray(kernel, img.dtype)[None, None]
+    out = jax.lax.conv_general_dilated(
+        img[None, None], k, window_strides=(1, 1), padding="SAME")
+    return out[0, 0]
+
+
+_SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32) / 8.0
+_SOBEL_Y = _SOBEL_X.T
+_HARRIS_WIN = np.ones((7, 7), np.float32)
+
+
+def harris_response(img: jnp.ndarray, k: float = 0.04) -> jnp.ndarray:
+    """Harris corner response (ORB's keypoint ranking score)."""
+    gx = _conv2(img, _SOBEL_X)
+    gy = _conv2(img, _SOBEL_Y)
+    sxx = _conv2(gx * gx, _HARRIS_WIN)
+    syy = _conv2(gy * gy, _HARRIS_WIN)
+    sxy = _conv2(gx * gy, _HARRIS_WIN)
+    det = sxx * syy - sxy * sxy
+    trace = sxx + syy
+    return det - k * trace * trace
+
+
+def _nms3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """Keep local maxima of a 3x3 neighborhood."""
+    m = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    return jnp.where((score >= m) & (score > 0.0), score, 0.0)
+
+
+def _box_blur5(img: jnp.ndarray) -> jnp.ndarray:
+    """5x5 box blur (ORB smooths the image before BRIEF sampling)."""
+    k = np.ones((5, 1), np.float32) / 5.0
+    return _conv2(_conv2(img, k), k.T)
+
+
+def _extract_patches(img: jnp.ndarray, rc: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Gather square patches [(2r+1)^2] around integer centers rc [N, 2].
+
+    Centers are clamped inside the image; callers mask border keypoints.
+    """
+    h, w = img.shape
+    size = 2 * radius + 1
+    pad = radius + 1
+    padded = jnp.pad(img, pad, mode="edge")
+
+    def one(center):
+        r = jnp.clip(center[0], 0, h - 1) + pad - radius
+        c = jnp.clip(center[1], 0, w - 1) + pad - radius
+        return jax.lax.dynamic_slice(padded, (r, c), (size, size))
+
+    return jax.vmap(one)(rc)
+
+
+def orientation_from_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation: atan2(m01, m10) over a circular mask.
+
+    patches: [N, S, S] with S = 2 * _PATCH_RADIUS + 1.
+    """
+    s = patches.shape[-1]
+    r = (s - 1) // 2
+    ys, xs = np.mgrid[-r:r + 1, -r:r + 1].astype(np.float32)
+    circ = ((xs ** 2 + ys ** 2) <= r ** 2).astype(np.float32)
+    m10 = jnp.sum(patches * (xs * circ), axis=(-2, -1))
+    m01 = jnp.sum(patches * (ys * circ), axis=(-2, -1))
+    return jnp.arctan2(m01, m10)
+
+
+def _sample_bilinear(patch: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample points yx [K, 2] (row, col float) from patch [S, S]."""
+    s = patch.shape[0]
+    y = jnp.clip(yx[:, 0], 0.0, s - 1.001)
+    x = jnp.clip(yx[:, 1], 0.0, s - 1.001)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    fy = y - y0
+    fx = x - x0
+    v00 = patch[y0, x0]
+    v01 = patch[y0, x0 + 1]
+    v10 = patch[y0 + 1, x0]
+    v11 = patch[y0 + 1, x0 + 1]
+    return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx) + v11 * fy * fx)
+
+
+def steered_brief(patches: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """Steered BRIEF descriptors from blurred patches.
+
+    patches: [N, S, S]; angles: [N]. Returns [N, 256] float32 in {-1, +1}.
+    """
+    s = patches.shape[-1]
+    center = (s - 1) / 2.0
+    pattern = jnp.asarray(_BRIEF_PATTERN)  # [256, 2, 2] (pair, point, (x, y))
+
+    def one(patch, angle):
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        x = pattern[..., 0]
+        y = pattern[..., 1]
+        xr = ca * x - sa * y
+        yr = sa * x + ca * y
+        # (row, col) = center + (y, x)
+        p1 = jnp.stack([center + yr[:, 0], center + xr[:, 0]], axis=-1)
+        p2 = jnp.stack([center + yr[:, 1], center + xr[:, 1]], axis=-1)
+        v1 = _sample_bilinear(patch, p1)
+        v2 = _sample_bilinear(patch, p2)
+        return jnp.where(v1 < v2, 1.0, -1.0).astype(jnp.float32)
+
+    return jax.vmap(one)(patches, angles)
+
+
+def _detect_level(img: jnp.ndarray, budget: int, cfg: FrontendConfig):
+    """Detect top-`budget` corners on one pyramid level.
+
+    Returns (rc [budget, 2] int32, response [budget], valid [budget]).
+    """
+    score = fast_corner_score(img, cfg.fast_threshold)
+    score = _nms3x3(score)
+    harris = harris_response(img)
+    # rank FAST survivors by Harris response (strictly negative fill)
+    margin = cfg.patch_size // 2 + 1
+    h, w = img.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = ((rows >= margin) & (rows < h - margin)
+              & (cols >= margin) & (cols < w - margin))
+    ranked = jnp.where((score > 0.0) & inside, harris, -jnp.inf)
+    flat = ranked.reshape(-1)
+    top, idx = jax.lax.top_k(flat, budget)
+    rc = jnp.stack([idx // w, idx % w], axis=-1)
+    valid = jnp.isfinite(top)
+    return rc, jnp.where(valid, top, 0.0), valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_and_describe(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
+    """Full ORB-style detect + describe over the image pyramid.
+
+    Args:
+      image: [H, W] float32 grayscale in [0, 255].
+      cfg: static FrontendConfig (shapes derive from it).
+
+    Returns:
+      Features with exactly cfg.max_features slots (masked).
+    """
+    levels = build_pyramid(image, cfg.num_pyramid_levels, cfg.pyramid_scale)
+    budgets = level_feature_budget(cfg)
+
+    uv_all, resp_all, ang_all, lvl_all, desc_all, valid_all = [], [], [], [], [], []
+    for li, (img, budget) in enumerate(zip(levels, budgets)):
+        if budget == 0:
+            continue
+        rc, resp, valid = _detect_level(img, budget, cfg)
+        patches = _extract_patches(img, rc, _PATCH_RADIUS)
+        angles = orientation_from_patches(patches)
+        blurred = _box_blur5(img)
+        bpatches = _extract_patches(blurred, rc, _PATCH_RADIUS)
+        desc = steered_brief(bpatches, angles)
+        scale = cfg.pyramid_scale ** li
+        uv = jnp.stack([rc[:, 1].astype(jnp.float32) * scale,
+                        rc[:, 0].astype(jnp.float32) * scale], axis=-1)
+        uv_all.append(uv)
+        resp_all.append(resp)
+        ang_all.append(angles)
+        lvl_all.append(jnp.full((budget,), li, jnp.int32))
+        desc_all.append(desc)
+        valid_all.append(valid)
+
+    return Features(
+        uv=jnp.concatenate(uv_all),
+        response=jnp.concatenate(resp_all),
+        angle=jnp.concatenate(ang_all),
+        level=jnp.concatenate(lvl_all),
+        desc=jnp.concatenate(desc_all),
+        valid=jnp.concatenate(valid_all),
+    )
+
+
+def occupancy_grid_check(uv: jnp.ndarray, valid: jnp.ndarray,
+                         image_shape: tuple[int, int],
+                         grid_div: int, thresh: float):
+    """Keypoint-distribution gate (reference `initializer.cpp:52-75`):
+    fraction of occupied grid cells must exceed `thresh`.
+
+    Returns (ok scalar bool, occupancy scalar f32).
+    """
+    h, w = image_shape
+    gh, gw = h // grid_div, w // grid_div
+    r = jnp.clip((uv[:, 1] // grid_div).astype(jnp.int32), 0, gh - 1)
+    c = jnp.clip((uv[:, 0] // grid_div).astype(jnp.int32), 0, gw - 1)
+    grid = jnp.zeros((gh, gw), jnp.float32)
+    grid = grid.at[r, c].max(valid.astype(jnp.float32))
+    occupancy = jnp.sum(grid) / float(gh * gw)
+    return occupancy > thresh, occupancy
+
+
+def pack_descriptors(desc_pm1: jnp.ndarray) -> np.ndarray:
+    """Pack +/-1 float descriptors [N, B] into uint8 [N, B//8] (host-side
+    helper for OpenCV-oracle tests and compact map storage)."""
+    bits = (np.asarray(desc_pm1) > 0).astype(np.uint8)
+    return np.packbits(bits, axis=-1)
