@@ -1,0 +1,144 @@
+"""VO state pytrees: the TPU-native data model.
+
+Replaces the reference's pointer-based L2 layer (Map/Frame/KeyFrame/Landmark,
+`map.hpp:13-59`, `frame.hpp:31-59`, `keyframe.hpp:14-51`, `landmark.hpp:7-18`)
+with fixed-capacity device arrays + validity masks (SURVEY.md section 7
+canonical state pytree). Landmark id == slot index (the reference's monotonic
+counters, `keyframe.cpp:6`, `landmark.cpp:5`, map directly onto slots since
+landmarks are never pruned — SURVEY.md quirks).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ros2_mono_vo_tpu.config import FrontendConfig
+
+
+class FrameObs(NamedTuple):
+    """Per-frame observations (the reference's Frame::observations with
+    landmark links, frame.hpp:10-20). Descriptors are carried separately
+    when needed; LK tracking only needs uv + lm_id."""
+
+    uv: jnp.ndarray      # [N, 2] pixel coords
+    lm_id: jnp.ndarray   # [N] int32, -1 = no landmark
+    valid: jnp.ndarray   # [N] bool
+
+
+class MapState(NamedTuple):
+    """Global map as a pytree of device arrays (reference map.hpp:55-56)."""
+
+    # landmarks
+    lm_xyz: jnp.ndarray      # [L, 3] world positions
+    lm_desc: jnp.ndarray     # [L, B] int8 in {-1, +1} (representative desc)
+    lm_valid: jnp.ndarray    # [L] bool
+    lm_count: jnp.ndarray    # scalar int32 — next landmark id
+    # keyframes (ring buffer; only the last KF feeds the front-end, the ring
+    # is the BA window)
+    kf_pose_wc: jnp.ndarray  # [Kmax, 4, 4]
+    kf_uv: jnp.ndarray       # [Kmax, N, 2]
+    kf_lm_id: jnp.ndarray    # [Kmax, N] int32 (-1 = none)
+    kf_obs_valid: jnp.ndarray  # [Kmax, N] bool
+    kf_valid: jnp.ndarray    # [Kmax] bool
+    kf_count: jnp.ndarray    # scalar int32 — total keyframes ever added
+    # descriptors of the LAST keyframe only (match-to-last-keyframe,
+    # tracker.cpp:189-191); full per-KF descriptor storage is not needed.
+    last_kf_desc: jnp.ndarray   # [N, B] float32 {-1, +1}
+    last_kf_desc_valid: jnp.ndarray  # [N] bool
+
+
+def empty_map(cfg: FrontendConfig) -> MapState:
+    L, Kmax, N, B = (cfg.max_landmarks, cfg.max_keyframes,
+                     cfg.max_features, cfg.descriptor_bits)
+    return MapState(
+        lm_xyz=jnp.zeros((L, 3), jnp.float32),
+        lm_desc=jnp.zeros((L, B), jnp.int8),
+        lm_valid=jnp.zeros((L,), bool),
+        lm_count=jnp.int32(0),
+        kf_pose_wc=jnp.tile(jnp.eye(4, dtype=jnp.float32), (Kmax, 1, 1)),
+        kf_uv=jnp.zeros((Kmax, N, 2), jnp.float32),
+        kf_lm_id=jnp.full((Kmax, N), -1, jnp.int32),
+        kf_obs_valid=jnp.zeros((Kmax, N), bool),
+        kf_valid=jnp.zeros((Kmax,), bool),
+        kf_count=jnp.int32(0),
+        last_kf_desc=jnp.zeros((N, B), jnp.float32),
+        last_kf_desc_valid=jnp.zeros((N,), bool),
+    )
+
+
+def last_kf_slot(m: MapState) -> jnp.ndarray:
+    """Ring-buffer slot of the most recent keyframe."""
+    kmax = m.kf_valid.shape[0]
+    return jnp.clip(m.kf_count - 1, 0, None) % kmax
+
+
+def allocate_landmarks(m: MapState, xyz: jnp.ndarray, desc: jnp.ndarray,
+                       want: jnp.ndarray):
+    """Assign new landmark slots for `want` entries (batched allocator).
+
+    Args:
+      xyz: [M, 3] candidate positions.
+      desc: [M, B] float {-1, +1} descriptors.
+      want: [M] bool — allocate a landmark for this entry.
+
+    Returns (new MapState, assigned_ids [M] int32 with -1 where not
+    allocated or out of capacity).
+    """
+    L = m.lm_valid.shape[0]
+    offs = jnp.cumsum(want.astype(jnp.int32)) - 1
+    ids = jnp.where(want, m.lm_count + offs, -1)
+    ids = jnp.where(ids >= L, -1, ids)  # capacity overflow -> dropped
+    ok = ids >= 0
+    slot = jnp.where(ok, ids, L)  # L = scatter-to-void via mode="drop"
+    lm_xyz = m.lm_xyz.at[slot].set(xyz, mode="drop")
+    lm_desc = m.lm_desc.at[slot].set(desc.astype(jnp.int8), mode="drop")
+    lm_valid = m.lm_valid.at[slot].set(True, mode="drop")
+    new_count = jnp.minimum(m.lm_count + jnp.sum(want.astype(jnp.int32)),
+                            jnp.int32(L))
+    return m._replace(lm_xyz=lm_xyz, lm_desc=lm_desc, lm_valid=lm_valid,
+                      lm_count=new_count), ids
+
+
+def add_keyframe(m: MapState, pose_wc: jnp.ndarray, uv: jnp.ndarray,
+                 lm_id: jnp.ndarray, obs_valid: jnp.ndarray,
+                 desc: jnp.ndarray) -> MapState:
+    """Append a keyframe into the ring buffer (reference map.cpp:33-38)."""
+    kmax = m.kf_valid.shape[0]
+    slot = m.kf_count % kmax
+    return m._replace(
+        kf_pose_wc=m.kf_pose_wc.at[slot].set(pose_wc),
+        kf_uv=m.kf_uv.at[slot].set(uv),
+        kf_lm_id=m.kf_lm_id.at[slot].set(lm_id),
+        kf_obs_valid=m.kf_obs_valid.at[slot].set(obs_valid),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_count=m.kf_count + 1,
+        last_kf_desc=desc,
+        last_kf_desc_valid=obs_valid,
+    )
+
+
+def landmark_uv_lookup(m: MapState, kf_slot: jnp.ndarray):
+    """Build a landmark_id -> (uv, present) lookup for one keyframe.
+
+    Replaces KeyFrame's O(1) landmark index (keyframe.hpp:50) with a dense
+    scatter; fixes the reference's index-misalignment hazard in
+    Tracker::has_parallax (tracker.cpp:239-240, SURVEY.md quirks) by
+    construction — lookups are explicit, never positional.
+
+    Returns (uv_by_lm [L, 2], present [L]).
+    """
+    L = m.lm_valid.shape[0]
+    ids = m.kf_lm_id[kf_slot]
+    ok = (ids >= 0) & m.kf_obs_valid[kf_slot]
+    slot = jnp.where(ok, ids, L)
+    uv_by_lm = jnp.zeros((L, 2), jnp.float32).at[slot].set(
+        m.kf_uv[kf_slot], mode="drop")
+    present = jnp.zeros((L,), bool).at[slot].set(True, mode="drop")
+    return uv_by_lm, present
+
+
+def landmark_points(m: MapState) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All landmark positions + mask (pointcloud export, map.cpp:52-60)."""
+    return m.lm_xyz, m.lm_valid
