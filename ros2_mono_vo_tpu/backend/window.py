@@ -1,0 +1,84 @@
+"""Sliding-window extraction: MapState ring buffer -> BAProblem and back.
+
+Bridges the front-end map pytree (pipeline/state.py) and the BA kernel
+(backend/ba.py). The "long-context" scaling story of SURVEY.md section 5:
+local BA over the last `window` keyframes, landmarks re-indexed into a dense
+[P] window-local block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
+from ros2_mono_vo_tpu.pipeline.state import MapState
+from ros2_mono_vo_tpu.backend.ba import BAProblem
+
+
+class WindowInfo(NamedTuple):
+    slots: jnp.ndarray      # [M] ring slots of the window keyframes
+    kf_mask: jnp.ndarray    # [M] bool — slot holds a real keyframe
+    lm_global: jnp.ndarray  # [P] global landmark id per local slot (-1 unused)
+    lm_mask: jnp.ndarray    # [P] bool
+
+
+@functools.partial(jax.jit, static_argnames=("window", "capacity"))
+def extract_window(m: MapState, K: jnp.ndarray, window: int,
+                   capacity: int) -> tuple[BAProblem, WindowInfo]:
+    """Build a fixed-shape BAProblem from the last `window` keyframes.
+
+    Landmarks observed in the window are ranked into `capacity` local slots
+    (overflow dropped — masked, never shape-changing). The two oldest window
+    poses are gauge-fixed (monocular 7-dof gauge freedom: 6 pose + scale).
+    """
+    kmax = m.kf_valid.shape[0]
+    L = m.lm_valid.shape[0]
+    idx = m.kf_count - window + jnp.arange(window)
+    kf_mask = (idx >= 0) & (idx < m.kf_count)
+    slots = jnp.where(kf_mask, idx % kmax, 0)
+
+    ids = m.kf_lm_id[slots]                     # [M, N]
+    obs_ok = m.kf_obs_valid[slots] & (ids >= 0) & kf_mask[:, None]
+    ids_c = jnp.clip(ids, 0, L - 1)
+    obs_ok = obs_ok & m.lm_valid[ids_c]
+
+    present = jnp.zeros((L,), bool).at[
+        jnp.where(obs_ok, ids_c, L).reshape(-1)].set(True, mode="drop")
+    rank = jnp.cumsum(present.astype(jnp.int32)) - 1
+    local_of_global = jnp.where(present & (rank < capacity), rank, -1)  # [L]
+
+    obs_lm = jnp.where(obs_ok, local_of_global[ids_c], -1)
+    obs_mask = obs_ok & (obs_lm >= 0)
+
+    # inverse mapping local -> global
+    lm_global = jnp.full((capacity,), -1, jnp.int32).at[
+        jnp.where(local_of_global >= 0, local_of_global, capacity)].set(
+        jnp.arange(L, dtype=jnp.int32), mode="drop")
+    lm_mask = lm_global >= 0
+    lm_xyz = m.lm_xyz[jnp.clip(lm_global, 0, L - 1)] * lm_mask[:, None]
+
+    T_cw = se3_inverse(m.kf_pose_wc[slots])
+    pose_fixed = (jnp.arange(window) < 2) | ~kf_mask
+
+    prob = BAProblem(T_cw=T_cw, lm_xyz=lm_xyz, obs_uv=m.kf_uv[slots],
+                     obs_lm=obs_lm, obs_mask=obs_mask, K=K,
+                     pose_fixed=pose_fixed)
+    return prob, WindowInfo(slots=slots, kf_mask=kf_mask,
+                            lm_global=lm_global, lm_mask=lm_mask)
+
+
+@jax.jit
+def apply_window(m: MapState, T_cw: jnp.ndarray, lm_xyz: jnp.ndarray,
+                 info: WindowInfo) -> MapState:
+    """Scatter optimized poses/landmarks back into the map."""
+    L = m.lm_valid.shape[0]
+    kf_pose = m.kf_pose_wc.at[
+        jnp.where(info.kf_mask, info.slots, m.kf_valid.shape[0])].set(
+        se3_inverse(T_cw), mode="drop")
+    lm_slot = jnp.where(info.lm_mask, info.lm_global, L)
+    lm = m.lm_xyz.at[lm_slot].set(lm_xyz, mode="drop")
+    return m._replace(kf_pose_wc=kf_pose, lm_xyz=lm)

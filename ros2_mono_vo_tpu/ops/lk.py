@@ -30,6 +30,7 @@ class FlowResult(NamedTuple):
     err: jnp.ndarray     # [N] mean |dI| over the final window
 
 
+@functools.partial(jax.jit, static_argnames=("levels",))
 def build_lk_pyramid(image: jnp.ndarray, levels: int) -> tuple[jnp.ndarray, ...]:
     """Factor-2 pyramid via 2x2 average pooling (even-cropped, static shapes)."""
     out = [image]

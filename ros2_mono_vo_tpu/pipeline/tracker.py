@@ -206,7 +206,11 @@ class Tracker:
         res = track_step(self.prev_pyr, cur_pyr, self.prev_obs, m, K,
                          k_track, jnp.int32(self.tracking_count),
                          self.tcfg, self.fcfg)
-        n_tracked = int(res.n_tracked)
+        # one fused device->host fetch for all control scalars (the tunnel
+        # to the TPU makes separate fetches expensive)
+        n_tracked, n_pnp, kf_wanted = jax.device_get(
+            (res.n_tracked, res.n_pnp_inliers, res.kf_wanted))
+        n_tracked = int(n_tracked)
         if n_tracked < self.tcfg.min_tracked_points:
             self.state = TrackerState.LOST   # sticky (tracker.cpp:292-296)
             return m, None, {"state": self.state, "n_tracked": n_tracked}
@@ -214,10 +218,10 @@ class Tracker:
         self.tracking_count += 1
         obs = res.obs
         info = {"state": self.state, "n_tracked": n_tracked,
-                "n_pnp_inliers": int(res.n_pnp_inliers),
-                "kf_wanted": bool(res.kf_wanted), "kf_added": False}
+                "n_pnp_inliers": int(n_pnp),
+                "kf_wanted": bool(kf_wanted), "kf_added": False}
 
-        if bool(res.kf_wanted):
+        if bool(kf_wanted):
             kf = keyframe_step(image, res.obs, res.T_wc, m, K, k_kf,
                                self.tcfg, self.fcfg)
             if bool(kf.parallax_ok):
