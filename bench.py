@@ -25,6 +25,13 @@ import time
 import numpy as np
 
 
+def _setup_jax_cache():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 IMAGE_SHAPE = (376, 1232)   # KITTI odometry camera 0 scale
 N_FEATURES = 1000
 
@@ -41,12 +48,12 @@ def make_sequence(n_frames: int, image_shape=IMAGE_SHAPE, seed: int = 0):
     return scene, poses, frames
 
 
-def run_ours(scene, frames, poses):
-    """Our engine; returns (fps_steady, ate, n_processed)."""
+def run_ours(scene, frames, poses, chunk=25):
+    """Our engine (fused on-device scan); returns (fps, ate, n_frames)."""
     import jax
     from ros2_mono_vo_tpu.config import (VOConfig, FrontendConfig,
                                          TrackerConfig)
-    from ros2_mono_vo_tpu.pipeline.vo import MonoVO
+    from ros2_mono_vo_tpu.pipeline.device_vo import DeviceMonoVO
     from ros2_mono_vo_tpu.io.trajectory import ate_rmse, trajectory_positions
 
     cfg = VOConfig(
@@ -54,30 +61,25 @@ def run_ours(scene, frames, poses):
                                 ransac_hypotheses=512, max_landmarks=16384,
                                 max_keyframes=32),
         tracker=TrackerConfig())
+    stack = np.stack(frames).astype(np.float32)
+    n = len(frames)
 
-    def one_pass(seed):
-        vo = MonoVO(cfg, scene.K, scene.image_shape, seed=seed)
-        t_track = 0.0
-        n_track = 0
-        for i, f in enumerate(frames):
-            t0 = time.perf_counter()
-            vo.process_frame(f, stamp=float(i))
-            dt = time.perf_counter() - t0
-            if vo.initialized and i > 5:
-                t_track += dt
-                n_track += 1
-        return vo, t_track, n_track
+    def one_pass(seed, timed):
+        vo = DeviceMonoVO(cfg, scene.K, scene.image_shape, seed=seed,
+                          chunk=chunk)
+        t0 = time.perf_counter()
+        for i in range(0, n, chunk):
+            vo.process_chunk(stack[i:i + chunk])
+        return vo, time.perf_counter() - t0
 
-    # pass 1: compile warmup (jit caches persist across MonoVO instances)
-    one_pass(seed=0)
-    vo, t_track, n_track = one_pass(seed=1)
+    one_pass(seed=0, timed=False)          # compile warmup
+    vo, elapsed = one_pass(seed=1, timed=True)
 
     est = trajectory_positions(vo.trajectory)
     stamps = [int(s) for s, _ in vo.trajectory]
     gt = np.stack([poses[i][:3, 3] for i in stamps])
     ate = ate_rmse(est, gt) if len(est) > 5 else float("nan")
-    fps = n_track / t_track if t_track > 0 else 0.0
-    return fps, ate, n_track
+    return n / elapsed, ate, n
 
 
 def run_reference_cpu(scene, frames, poses):
@@ -216,6 +218,7 @@ def main():
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
+    _setup_jax_cache()
     n = 30 if args.quick else args.frames
 
     scene, poses, frames = make_sequence(n)

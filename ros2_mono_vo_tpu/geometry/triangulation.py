@@ -11,11 +11,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ros2_mono_vo_tpu.ops.linalg import smallest_eigvec
+
 
 def _smallest_eigvec_sym4(A: jnp.ndarray) -> jnp.ndarray:
-    """Eigenvector of the smallest eigenvalue of symmetric [..., 4, 4]."""
-    w, v = jnp.linalg.eigh(A)  # ascending eigenvalues
-    return v[..., :, 0]
+    """Eigenvector of the smallest eigenvalue of symmetric [..., 4, 4]
+    (batched Jacobi — see ops/linalg.py for why not jnp.linalg.eigh)."""
+    return smallest_eigvec(A)
 
 
 def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray,

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ros2_mono_vo_tpu.geometry.se3 import so3_exp, hat, make_se3
+from ros2_mono_vo_tpu.ops.linalg import smallest_eigvec, svd3
 from ros2_mono_vo_tpu.geometry.projection import project_points, pixel_to_normalized
 
 _BIG = jnp.float32(1e12)
@@ -92,8 +93,7 @@ def _null_vector(A: jnp.ndarray) -> jnp.ndarray:
     A: [..., M, D] -> [..., D].
     """
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, v = jnp.linalg.eigh(AtA)
-    return v[..., :, 0]
+    return smallest_eigvec(AtA)
 
 
 # ---------------------------------------------------------------------------
@@ -139,7 +139,7 @@ def solve_fundamental_8pt(uv1: jnp.ndarray, uv2: jnp.ndarray,
     f = _null_vector(A)
     Fn = f.reshape(f.shape[:-1] + (3, 3))
     # rank-2 projection
-    U, S, Vt = jnp.linalg.svd(Fn)
+    U, S, Vt = svd3(Fn)
     S = S.at[..., 2].set(0.0)
     Fn = (U * S[..., None, :]) @ Vt
     F = jnp.swapaxes(T2, -1, -2) @ Fn @ T1
@@ -152,7 +152,7 @@ def solve_essential_8pt(xy1: jnp.ndarray, xy2: jnp.ndarray,
     """8-point essential matrix on normalized image coords, projected onto
     the essential manifold (singular values (1, 1, 0))."""
     F = solve_fundamental_8pt(xy1, xy2, w)
-    U, _, Vt = jnp.linalg.svd(F)
+    U, _, Vt = svd3(F)
     S = jnp.ones_like(F[..., 0]) * jnp.asarray([1.0, 1.0, 0.0], F.dtype)
     return (U * S[..., None, :]) @ Vt
 
@@ -182,7 +182,7 @@ def solve_pnp_dlt(X: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray,
     sign = jnp.where(detM < 0, -1.0, 1.0)
     P = P * sign[..., None, None]
     M = P[..., :3]
-    U, S, Vt = jnp.linalg.svd(M)
+    U, S, Vt = svd3(M)
     scale = jnp.clip(jnp.mean(S, -1), 1e-12, None)
     R = U @ Vt
     # guard reflections from SVD
@@ -330,7 +330,7 @@ def recover_pose(E: jnp.ndarray, xy1: jnp.ndarray, xy2: jnp.ndarray,
 
     Returns (R_cw, t_cw, front_mask [N], votes).
     """
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = svd3(E)
     # enforce proper rotations
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))

@@ -1,0 +1,378 @@
+"""Fully on-device VO: the whole engine as one `lax.scan` over frames.
+
+The host-driven pipeline (pipeline/vo.py) mirrors the reference's per-frame
+callback structure, but a host round-trip per frame is wasted latency —
+on this target a device->host fetch costs orders of magnitude more than the
+frame's compute. This module is the TPU-native flagship path (SURVEY.md
+section 7: "state machines become ... lax.switch branches"): the
+OBTAINING_REF -> INITIALIZING -> TRACKING -> LOST machine runs entirely on
+device, `lax.switch`ing between branch bodies per frame, and the host fetches
+one pose array per CHUNK of frames.
+
+Branch semantics are identical to the host pipeline (both call the same
+underlying step functions); tests/test_device_vo.py checks agreement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ros2_mono_vo_tpu.config import VOConfig
+from ros2_mono_vo_tpu.ops.features import (Features, detect_and_describe,
+                                           occupancy_grid_check)
+from ros2_mono_vo_tpu.ops.lk import build_lk_pyramid
+from ros2_mono_vo_tpu.pipeline.state import MapState, FrameObs, empty_map
+from ros2_mono_vo_tpu.pipeline.initializer import init_attempt, seed_map
+from ros2_mono_vo_tpu.pipeline.tracker import track_step, keyframe_step
+
+MODE_OBTAIN_REF = 0
+MODE_INITIALIZING = 1
+MODE_TRACKING = 2
+MODE_LOST = 3
+
+
+class VOCarry(NamedTuple):
+    mode: jnp.ndarray          # scalar int32 state machine mode
+    key: jax.Array
+    ref: Features              # initializer reference frame features
+    map: MapState
+    prev_pyr: tuple            # LK pyramid of the previous frame
+    prev_obs: FrameObs
+    pose_wc: jnp.ndarray       # last pose (identity until initialized)
+    tracking_count: jnp.ndarray
+    tracking_valid: jnp.ndarray  # scalar bool
+
+
+class VOStepOut(NamedTuple):
+    pose_wc: jnp.ndarray       # [4, 4]
+    valid: jnp.ndarray         # bool — pose is a fresh successful estimate
+    mode: jnp.ndarray          # int32 mode AFTER the frame
+    n_tracked: jnp.ndarray     # int32
+    kf_added: jnp.ndarray      # bool
+
+
+def _select(pred, a, b):
+    """Scalar-predicated pytree select."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _empty_features(fcfg) -> Features:
+    n, b = fcfg.max_features, fcfg.descriptor_bits
+    return Features(uv=jnp.zeros((n, 2), jnp.float32),
+                    response=jnp.zeros((n,), jnp.float32),
+                    angle=jnp.zeros((n,), jnp.float32),
+                    level=jnp.zeros((n,), jnp.int32),
+                    desc=jnp.zeros((n, b), jnp.float32),
+                    valid=jnp.zeros((n,), bool))
+
+
+def init_carry(cfg: VOConfig, image_shape: tuple[int, int],
+               seed: int = 0) -> VOCarry:
+    fcfg = cfg.frontend
+    n = fcfg.max_features
+    zero_img = jnp.zeros(image_shape, jnp.float32)
+    return VOCarry(
+        mode=jnp.int32(MODE_OBTAIN_REF),
+        key=jax.random.PRNGKey(seed),
+        ref=_empty_features(fcfg),
+        map=empty_map(fcfg),
+        prev_pyr=build_lk_pyramid(zero_img, fcfg.lk_levels),
+        prev_obs=FrameObs(uv=jnp.zeros((n, 2), jnp.float32),
+                          lm_id=jnp.full((n,), -1, jnp.int32),
+                          valid=jnp.zeros((n,), bool)),
+        pose_wc=jnp.eye(4, dtype=jnp.float32),
+        tracking_count=jnp.int32(0),
+        tracking_valid=jnp.asarray(False),
+    )
+
+
+def _out_invalid(c, mode):
+    return VOStepOut(pose_wc=c.pose_wc, valid=jnp.asarray(False),
+                     mode=jnp.int32(mode), n_tracked=jnp.int32(0),
+                     kf_added=jnp.asarray(False))
+
+
+def init_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
+              cfg: VOConfig, image_shape: tuple[int, int]):
+    """One frame through the initialization phase (modes 0/1; frames in
+    modes >= 2 pass through untouched — the host hands the remainder of the
+    chunk to track_scan). Detection is hoisted out of the switch: both init
+    branches need it, and one detect per graph keeps compile size down."""
+    icfg, fcfg = cfg.initializer, cfg.frontend
+    # NOTE: the key is split inside the real branches only — passthrough
+    # frames (mode >= 2) must consume NO randomness, or chunk boundaries
+    # would change the key stream (the transition chunk replays its tail
+    # through track_scan).
+    feats = detect_and_describe(frame, fcfg)
+    dist_ok, _ = occupancy_grid_check(feats.uv, feats.valid, image_shape,
+                                      icfg.occupancy_grid_div,
+                                      icfg.kp_distribution_thresh)
+
+    # ---- mode 0: OBTAINING_REF (initializer.cpp:174-180) ----
+    def branch_obtain(c: VOCarry):
+        mode = jnp.where(dist_ok, MODE_INITIALIZING,
+                         MODE_OBTAIN_REF).astype(jnp.int32)
+        c = c._replace(mode=mode, ref=_select(dist_ok, feats, c.ref))
+        return c, _out_invalid(c, mode)
+
+    # ---- mode 1: INITIALIZING (initializer.cpp:182-311) ----
+    def branch_init(c: VOCarry):
+        key, k_frame = jax.random.split(c.key)
+        c = c._replace(key=key)
+        att = init_attempt(c.ref, feats, K, k_frame, icfg, fcfg)
+        enough = att.n_matches >= icfg.min_matches_for_init
+        tri_ok = att.n_triangulated >= icfg.min_triangulated_points
+        success = (enough & att.parallax_ok & (att.n_pose_inliers >= 4)
+                   & tri_ok)
+
+        m_seeded, cur_lm_id = seed_map(c.map, c.ref, feats, att)
+        cur_pyr = build_lk_pyramid(frame, fcfg.lk_levels)
+
+        # state transitions (see host Initializer.try_initializing):
+        #   success                    -> TRACKING, map seeded, tracker seeded
+        #   !enough & dist_ok          -> stay INITIALIZING with new ref
+        #   !enough & !dist_ok         -> OBTAINING_REF (reset)
+        #   enough & gates-fail-hard   -> OBTAINING_REF iff triangulation
+        #                                 failed after pose success; else stay
+        reset = (~enough & ~dist_ok) | (enough & att.parallax_ok
+                                        & (att.n_pose_inliers >= 4) & ~tri_ok)
+        mode = jnp.where(
+            success, MODE_TRACKING,
+            jnp.where(reset, MODE_OBTAIN_REF, MODE_INITIALIZING)).astype(jnp.int32)
+
+        new_ref = _select(success | (~enough & dist_ok), feats, c.ref)
+        c = c._replace(
+            mode=mode,
+            ref=new_ref,
+            map=_select(success, m_seeded, c.map),
+            prev_pyr=_select(success, cur_pyr, c.prev_pyr),
+            prev_obs=_select(
+                success,
+                FrameObs(uv=feats.uv, lm_id=cur_lm_id, valid=feats.valid),
+                c.prev_obs),
+            # reference publishes identity as the first pose (mono_vo.cpp:108)
+            pose_wc=jnp.where(success, jnp.eye(4, dtype=jnp.float32),
+                              c.pose_wc),
+            tracking_count=jnp.where(success, 0, c.tracking_count).astype(jnp.int32),
+            tracking_valid=c.tracking_valid | success,
+        )
+        return c, VOStepOut(pose_wc=c.pose_wc, valid=success, mode=mode,
+                            n_tracked=jnp.int32(0),
+                            kf_added=jnp.asarray(False))
+
+    # ---- modes >= 2: pass through (host hands the rest to track_scan) ----
+    def branch_pass(c: VOCarry):
+        return c, _out_invalid(c, c.mode)
+
+    return jax.lax.switch(jnp.clip(carry.mode, 0, 2),
+                          [branch_obtain, branch_init, branch_pass], carry)
+
+
+def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
+                  cfg: VOConfig):
+    """One frame through the tracking phase (modes 2/3; earlier modes never
+    reach this scan)."""
+    tcfg, fcfg = cfg.tracker, cfg.frontend
+
+    # ---- mode 2: TRACKING (tracker.cpp:274-333) ----
+    def branch_track(c: VOCarry):
+        key, k_frame = jax.random.split(c.key)
+        c = c._replace(key=key)
+        k_track, k_kf = jax.random.split(k_frame)
+        cur_pyr = build_lk_pyramid(frame, fcfg.lk_levels)
+        res = track_step(c.prev_pyr, cur_pyr, c.prev_obs, c.map, K, k_track,
+                         c.tracking_count + 1, tcfg, fcfg)
+        lost = res.n_tracked < tcfg.min_tracked_points
+
+        def do_kf(_):
+            return keyframe_step(frame, res.obs, res.T_wc, c.map, K, k_kf,
+                                 tcfg, fcfg)
+
+        def no_kf(_):
+            from ros2_mono_vo_tpu.pipeline.tracker import KeyframeStepResult
+            return KeyframeStepResult(
+                parallax_ok=jnp.asarray(False), map=c.map, obs=res.obs,
+                n_new_landmarks=jnp.int32(0))
+
+        kf = jax.lax.cond(res.kf_wanted & ~lost, do_kf, no_kf, None)
+        kf_added = res.kf_wanted & ~lost & kf.parallax_ok
+
+        mode = jnp.where(lost, MODE_LOST, MODE_TRACKING).astype(jnp.int32)
+        c = c._replace(
+            mode=mode,
+            map=_select(kf_added, kf.map, c.map),
+            prev_pyr=_select(lost, c.prev_pyr, cur_pyr),
+            prev_obs=_select(lost, c.prev_obs,
+                             _select(kf_added, kf.obs, res.obs)),
+            pose_wc=jnp.where(lost, c.pose_wc, res.T_wc),
+            tracking_count=jnp.where(
+                kf_added, 0, jnp.where(lost, c.tracking_count,
+                                       c.tracking_count + 1)).astype(jnp.int32),
+            tracking_valid=~lost,
+        )
+        return c, VOStepOut(pose_wc=c.pose_wc, valid=~lost, mode=mode,
+                            n_tracked=res.n_tracked, kf_added=kf_added)
+
+    # ---- mode 3: LOST (sticky, tracker.cpp:277-279) ----
+    def branch_lost(c: VOCarry):
+        c = c._replace(tracking_valid=jnp.asarray(False))
+        return c, _out_invalid(c, MODE_LOST)
+
+    return jax.lax.cond(carry.mode == MODE_TRACKING, branch_track,
+                        branch_lost, carry)
+
+
+def _masked_scan(step_fn, carry: VOCarry, frames: jnp.ndarray,
+                 n_real: jnp.ndarray):
+    """Scan a fixed-size chunk; frames at index >= n_real are no-ops.
+
+    Fixed chunk shape means exactly ONE compile per scan graph regardless of
+    how many real frames a call carries (n_real is a traced scalar).
+    """
+    idx = jnp.arange(frames.shape[0])
+
+    def step(c, xs):
+        i, frame = xs
+
+        def active(c):
+            return step_fn(c, frame)
+
+        def inactive(c):
+            return c, _out_invalid(c, c.mode)
+
+        return jax.lax.cond(i < n_real, active, inactive, c)
+
+    return jax.lax.scan(step, carry, (idx, frames))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_shape"))
+def init_scan(carry: VOCarry, frames: jnp.ndarray, n_real: jnp.ndarray,
+              K: jnp.ndarray, cfg: VOConfig, image_shape: tuple[int, int]):
+    """Initialization-phase scan (compiled separately from tracking to keep
+    per-graph compile memory bounded)."""
+    return _masked_scan(
+        lambda c, f: init_step(c, f, K, cfg, image_shape),
+        carry, frames, n_real)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_scan(carry: VOCarry, frames: jnp.ndarray, n_real: jnp.ndarray,
+               K: jnp.ndarray, cfg: VOConfig):
+    """Tracking-phase scan over a chunk of frames [C, H, W]."""
+    return _masked_scan(
+        lambda c, f: tracking_step(c, f, K, cfg),
+        carry, frames, n_real)
+
+
+class DeviceMonoVO:
+    """Chunked host wrapper around the two scans (the production engine).
+
+    One device->host fetch per chunk, plus one extra at the init->track
+    transition chunk.
+    """
+
+    def __init__(self, cfg: VOConfig, K, image_shape: tuple[int, int],
+                 seed: int = 0, chunk: int = 32):
+        import numpy as np
+        self.cfg = cfg
+        self.K = jnp.asarray(np.asarray(K), jnp.float32)
+        self.image_shape = tuple(image_shape)
+        self.chunk = chunk
+        self.carry = init_carry(cfg, self.image_shape, seed)
+        self.trajectory: list = []
+        self._frame_idx = 0
+        self._tracking = False
+
+    def _record(self, outs, offset: int) -> None:
+        import numpy as np
+        valid = np.asarray(outs.valid)
+        poses = np.asarray(outs.pose_wc)
+        for i in range(len(valid)):
+            if valid[i]:
+                self.trajectory.append(
+                    (float(self._frame_idx + offset + i), poses[i]))
+
+    def _pad(self, f_np):
+        import numpy as np
+        n = len(f_np)
+        if n == self.chunk:
+            return f_np
+        out = np.zeros((self.chunk,) + self.image_shape, np.float32)
+        out[:n] = f_np
+        return out
+
+    def _process_fixed(self, f_np) -> VOStepOut:
+        """Run one fixed-size (padded) chunk of n real frames."""
+        import numpy as np
+        n = len(f_np)
+        outs_list = []
+        if not self._tracking:
+            fdev = jnp.asarray(self._pad(f_np))
+            self.carry, outs = init_scan(self.carry, fdev, jnp.int32(n),
+                                         self.K, self.cfg, self.image_shape)
+            outs = jax.device_get(outs)
+            modes = np.asarray(outs.mode)[:n]
+            if (modes >= MODE_TRACKING).any():
+                # init succeeded mid-chunk: replay the remainder through the
+                # tracking scan (one extra dispatch on the transition chunk)
+                t0 = int(np.argmax(modes >= MODE_TRACKING)) + 1
+                head = jax.tree.map(lambda x: x[:t0], outs)
+                self._record(head, 0)
+                outs_list.append(head)
+                self._tracking = True
+                if t0 < n:
+                    rest = f_np[t0:]
+                    fdev2 = jnp.asarray(self._pad(rest))
+                    self.carry, outs2 = track_scan(
+                        self.carry, fdev2, jnp.int32(len(rest)), self.K,
+                        self.cfg)
+                    outs2 = jax.tree.map(lambda x: x[:len(rest)],
+                                         jax.device_get(outs2))
+                    self._record(outs2, t0)
+                    outs_list.append(outs2)
+            else:
+                head = jax.tree.map(lambda x: x[:n], outs)
+                self._record(head, 0)
+                outs_list.append(head)
+        else:
+            fdev = jnp.asarray(self._pad(f_np))
+            self.carry, outs = track_scan(self.carry, fdev, jnp.int32(n),
+                                          self.K, self.cfg)
+            outs = jax.tree.map(lambda x: x[:n], jax.device_get(outs))
+            self._record(outs, 0)
+            outs_list.append(outs)
+        self._frame_idx += n
+        if len(outs_list) == 1:
+            return outs_list[0]
+        import numpy as np
+        return jax.tree.map(lambda *xs: np.concatenate(xs), *outs_list)
+
+    def process_chunk(self, frames) -> VOStepOut:
+        """frames: [C, H, W] array-like (any C). Returns per-frame outputs."""
+        import numpy as np
+        f = np.asarray(frames, np.float32)
+        pieces = [self._process_fixed(f[i:i + self.chunk])
+                  for i in range(0, len(f), self.chunk)]
+        if len(pieces) == 1:
+            return pieces[0]
+        return jax.tree.map(lambda *xs: np.concatenate(xs), *pieces)
+
+    def run_local_ba(self, iterations: int = 8) -> None:
+        """Sliding-window bundle adjustment over the keyframe ring
+        (BASELINE.json config #4). Pure device work — no host fetch; call
+        between chunks to tighten the map."""
+        from ros2_mono_vo_tpu.backend.window import extract_window, apply_window
+        from ros2_mono_vo_tpu.backend.ba import bundle_adjust
+        bcfg = self.cfg.backend
+        prob, info = extract_window(self.carry.map, self.K,
+                                    window=bcfg.window_size,
+                                    capacity=bcfg.max_window_landmarks)
+        res = bundle_adjust(prob, iterations=iterations,
+                            huber_delta=bcfg.huber_delta,
+                            lam0=bcfg.lm_lambda_init)
+        m = apply_window(self.carry.map, res.T_cw, res.lm_xyz, info)
+        self.carry = self.carry._replace(map=m)

@@ -43,8 +43,12 @@ class MapState(NamedTuple):
     kf_obs_valid: jnp.ndarray  # [Kmax, N] bool
     kf_valid: jnp.ndarray    # [Kmax] bool
     kf_count: jnp.ndarray    # scalar int32 — total keyframes ever added
-    # descriptors of the LAST keyframe only (match-to-last-keyframe,
-    # tracker.cpp:189-191); full per-KF descriptor storage is not needed.
+    # per-keyframe descriptors, int8 {-1,+1} — used by loop closure / place
+    # recognition (the reference's roadmap); compact enough to keep for the
+    # whole ring (Kmax x N x B bytes).
+    kf_desc: jnp.ndarray     # [Kmax, N, B] int8
+    # descriptors of the LAST keyframe in matmul-ready f32 (hot path:
+    # match-to-last-keyframe, tracker.cpp:189-191).
     last_kf_desc: jnp.ndarray   # [N, B] float32 {-1, +1}
     last_kf_desc_valid: jnp.ndarray  # [N] bool
 
@@ -63,6 +67,7 @@ def empty_map(cfg: FrontendConfig) -> MapState:
         kf_obs_valid=jnp.zeros((Kmax, N), bool),
         kf_valid=jnp.zeros((Kmax,), bool),
         kf_count=jnp.int32(0),
+        kf_desc=jnp.zeros((Kmax, N, B), jnp.int8),
         last_kf_desc=jnp.zeros((N, B), jnp.float32),
         last_kf_desc_valid=jnp.zeros((N,), bool),
     )
@@ -114,6 +119,7 @@ def add_keyframe(m: MapState, pose_wc: jnp.ndarray, uv: jnp.ndarray,
         kf_obs_valid=m.kf_obs_valid.at[slot].set(obs_valid),
         kf_valid=m.kf_valid.at[slot].set(True),
         kf_count=m.kf_count + 1,
+        kf_desc=m.kf_desc.at[slot].set(desc.astype(jnp.int8)),
         last_kf_desc=desc,
         last_kf_desc_valid=obs_valid,
     )
