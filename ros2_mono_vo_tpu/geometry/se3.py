@@ -67,17 +67,26 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation [..., 3, 3] -> axis-angle [..., 3].
 
     Stable for small angles; for angles near pi it uses the diagonal form.
+    Written so forward/reverse-mode derivatives stay finite at theta -> 0:
+    the branch decision and the small-angle series use sin^2(theta) (a
+    polynomial in R's entries), and the arccos input is clamped away from
+    +-1 so its derivative never blows up on the path jacfwd traces.
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-4
-    near_pi = theta > jnp.pi - 1e-3
-    # generic: w = theta / (2 sin theta) * vee(R - R^T)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0,
-                      theta / jnp.where(jnp.abs(sin_t) < _EPS, _EPS, sin_t))
+    sin2 = jnp.sum(w_skew * w_skew, axis=-1)          # = sin^2(theta)
+    small = cos_t > 1.0 - 1e-6
+    near_pi = cos_t < -1.0 + 5e-7
+    cos_mid = jnp.clip(cos_t, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta_mid = jnp.arccos(cos_mid)
+    sin_mid = jnp.sqrt(1.0 - cos_mid * cos_mid)
+    theta = jnp.where(small, jnp.sqrt(jnp.clip(sin2, 0.0, None) + _EPS),
+                      theta_mid)
+    # generic: w = theta / (2 sin theta) * vee(R - R^T); small-angle series
+    # theta/sin(theta) = 1 + s/6 + 7 s^2/360 with s = sin^2(theta)
+    scale = jnp.where(small, 1.0 + sin2 / 6.0 + 7.0 * sin2 * sin2 / 360.0,
+                      theta_mid / sin_mid)
     w_generic = w_skew * scale[..., None]
     # near pi: axis from diagonal of (R + I)/2 = axis axis^T * (1 - cos) + ...
     B = (R + jnp.swapaxes(R, -1, -2)) * 0.5  # symmetric part

@@ -51,6 +51,21 @@ class TestSO3:
         w2 = np.asarray(so3_log(so3_exp(jnp.asarray(w))))
         np.testing.assert_allclose(np.abs(w2), np.abs(w), atol=1e-2)
 
+    def test_log_jacobian_finite_at_identity(self):
+        # regression: jacfwd(so3_log . so3_exp) must stay finite at theta=0
+        # (arccos at a clipped input of 1.0 has infinite derivative; the
+        # small-angle branch must not route through it — pose-graph GN steps
+        # go NaN otherwise, exactly at converged zero-residual edges).
+        import jax
+        f = lambda x: so3_log(so3_exp(x))
+        for w in [np.zeros(3), np.array([1e-8, 0, 0]),
+                  np.array([1e-4, 2e-5, -1e-5]), np.array([0.5, -0.3, 0.2])]:
+            J = jax.jacfwd(f)(jnp.asarray(w, jnp.float32))
+            assert np.all(np.isfinite(np.asarray(J))), w
+        # at identity the jacobian of log(exp(.)) is the 3x3 identity
+        J0 = np.asarray(jax.jacfwd(f)(jnp.zeros(3, jnp.float32)))
+        np.testing.assert_allclose(J0, np.eye(3), atol=1e-3)
+
     def test_rotation_angle(self, rng):
         for _ in range(8):
             angle = rng.uniform(0.01, 3.0)
