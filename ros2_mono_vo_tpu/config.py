@@ -54,6 +54,11 @@ class TrackerConfig:
     # documented quirk in SURVEY.md section 3). We expose them explicitly.
     pnp_reproj_thresh: float = 8.0
     pnp_iterations: int = 100
+    # Relocalization from LOST (a capability the reference explicitly lacks —
+    # its LOST is terminal, tracker.cpp:277-279, README.md:146 "roadmap").
+    # Off by default to preserve reference parity semantics.
+    enable_relocalization: bool = False
+    reloc_min_inliers: int = 30
 
 
 @dataclasses.dataclass(frozen=True)

@@ -103,6 +103,9 @@ def init_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
     chunk to track_scan). Detection is hoisted out of the switch: both init
     branches need it, and one detect per graph keeps compile size down."""
     icfg, fcfg = cfg.initializer, cfg.frontend
+    # Frames arrive in their wire dtype (uint8 from cameras/datasets — 4x
+    # fewer bytes over the host link than f32); all math is f32 on device.
+    frame = frame.astype(jnp.float32)
     # NOTE: the key is split inside the real branches only — passthrough
     # frames (mode >= 2) must consume NO randomness, or chunk boundaries
     # would change the key stream (the transition chunk replays its tail
@@ -177,6 +180,7 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
     """One frame through the tracking phase (modes 2/3; earlier modes never
     reach this scan)."""
     tcfg, fcfg = cfg.tracker, cfg.frontend
+    frame = frame.astype(jnp.float32)
 
     # ---- mode 2: TRACKING (tracker.cpp:274-333) ----
     def branch_track(c: VOCarry):
@@ -217,10 +221,32 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
         return c, VOStepOut(pose_wc=c.pose_wc, valid=~lost, mode=mode,
                             n_tracked=res.n_tracked, kf_added=kf_added)
 
-    # ---- mode 3: LOST (sticky, tracker.cpp:277-279) ----
+    # ---- mode 3: LOST (sticky, tracker.cpp:277-279) — unless
+    # relocalization is enabled (static config => the reloc graph is only
+    # built when the feature is on) ----
     def branch_lost(c: VOCarry):
-        c = c._replace(tracking_valid=jnp.asarray(False))
-        return c, _out_invalid(c, MODE_LOST)
+        if not tcfg.enable_relocalization:
+            c = c._replace(tracking_valid=jnp.asarray(False))
+            return c, _out_invalid(c, MODE_LOST)
+
+        from ros2_mono_vo_tpu.pipeline.tracker import relocalize_step
+        key, k_rel = jax.random.split(c.key)
+        c = c._replace(key=key)
+        rel = relocalize_step(frame, c.map, K, k_rel, tcfg, fcfg)
+        cur_pyr = build_lk_pyramid(frame, fcfg.lk_levels)
+        mode = jnp.where(rel.success, MODE_TRACKING, MODE_LOST).astype(jnp.int32)
+        c = c._replace(
+            mode=mode,
+            prev_pyr=_select(rel.success, cur_pyr, c.prev_pyr),
+            prev_obs=_select(rel.success, rel.obs, c.prev_obs),
+            pose_wc=jnp.where(rel.success, rel.T_wc, c.pose_wc),
+            tracking_count=jnp.where(rel.success, 0,
+                                     c.tracking_count).astype(jnp.int32),
+            tracking_valid=rel.success,
+        )
+        return c, VOStepOut(pose_wc=c.pose_wc, valid=rel.success, mode=mode,
+                            n_tracked=rel.n_inliers,
+                            kf_added=jnp.asarray(False))
 
     return jax.lax.cond(carry.mode == MODE_TRACKING, branch_track,
                         branch_lost, carry)
@@ -271,21 +297,27 @@ def track_scan(carry: VOCarry, frames: jnp.ndarray, n_real: jnp.ndarray,
 class DeviceMonoVO:
     """Chunked host wrapper around the two scans (the production engine).
 
-    One device->host fetch per chunk, plus one extra at the init->track
-    transition chunk.
+    During initialization the host syncs once per chunk (it must see the
+    mode array to hand the tail of the transition chunk to track_scan).
+    Once tracking, `sync=False` defers every device->host fetch: chunks are
+    enqueued back-to-back (transfer of chunk n+1 overlaps compute of chunk
+    n on the device stream) and `finalize()` drains the results — the
+    steady-state pipeline never blocks the host.
     """
 
     def __init__(self, cfg: VOConfig, K, image_shape: tuple[int, int],
-                 seed: int = 0, chunk: int = 32):
+                 seed: int = 0, chunk: int = 32, sync: bool = True):
         import numpy as np
         self.cfg = cfg
         self.K = jnp.asarray(np.asarray(K), jnp.float32)
         self.image_shape = tuple(image_shape)
         self.chunk = chunk
+        self.sync = sync
         self.carry = init_carry(cfg, self.image_shape, seed)
         self.trajectory: list = []
         self._frame_idx = 0
         self._tracking = False
+        self._pending: list = []   # (offset, n, device VOStepOut)
 
     def _record(self, outs, offset: int) -> None:
         import numpy as np
@@ -301,7 +333,7 @@ class DeviceMonoVO:
         n = len(f_np)
         if n == self.chunk:
             return f_np
-        out = np.zeros((self.chunk,) + self.image_shape, np.float32)
+        out = np.zeros((self.chunk,) + self.image_shape, f_np.dtype)
         out[:n] = f_np
         return out
 
@@ -342,23 +374,44 @@ class DeviceMonoVO:
             fdev = jnp.asarray(self._pad(f_np))
             self.carry, outs = track_scan(self.carry, fdev, jnp.int32(n),
                                           self.K, self.cfg)
-            outs = jax.tree.map(lambda x: x[:n], jax.device_get(outs))
-            self._record(outs, 0)
-            outs_list.append(outs)
+            if self.sync:
+                outs = jax.tree.map(lambda x: x[:n], jax.device_get(outs))
+                self._record(outs, 0)
+                outs_list.append(outs)
+            else:
+                self._pending.append((self._frame_idx, n, outs))
+                outs_list.append(None)
         self._frame_idx += n
         if len(outs_list) == 1:
             return outs_list[0]
         import numpy as np
         return jax.tree.map(lambda *xs: np.concatenate(xs), *outs_list)
 
-    def process_chunk(self, frames) -> VOStepOut:
-        """frames: [C, H, W] array-like (any C). Returns per-frame outputs."""
+    def finalize(self):
+        """Drain deferred chunk outputs into the trajectory (sync=False)."""
         import numpy as np
-        f = np.asarray(frames, np.float32)
+        for offset, n, outs in self._pending:
+            o = jax.tree.map(lambda x: x[:n], jax.device_get(outs))
+            valid = np.asarray(o.valid)
+            poses = np.asarray(o.pose_wc)
+            for i in range(n):
+                if valid[i]:
+                    self.trajectory.append((float(offset + i), poses[i]))
+        self._pending.clear()
+
+    def process_chunk(self, frames) -> VOStepOut:
+        """frames: [C, H, W] array-like (any C; uint8 preferred — it is the
+        wire format). Returns per-frame outputs (None entries when deferred)."""
+        import numpy as np
+        f = np.asarray(frames)
+        if f.dtype not in (np.uint8, np.float32):
+            f = f.astype(np.float32)
         pieces = [self._process_fixed(f[i:i + self.chunk])
                   for i in range(0, len(f), self.chunk)]
         if len(pieces) == 1:
             return pieces[0]
+        if any(p is None for p in pieces):
+            return None
         return jax.tree.map(lambda *xs: np.concatenate(xs), *pieces)
 
     def run_local_ba(self, iterations: int = 8) -> None:

@@ -162,6 +162,40 @@ def keyframe_step(image: jnp.ndarray, tracked: FrameObs, T_wc: jnp.ndarray,
         n_new_landmarks=jnp.sum(new_ids >= 0))
 
 
+class RelocStepResult(NamedTuple):
+    success: jnp.ndarray      # scalar bool
+    T_wc: jnp.ndarray         # [4, 4] recovered pose (valid iff success)
+    obs: FrameObs             # frame observations with landmark ids attached
+    n_inliers: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg", "fcfg"))
+def relocalize_step(image: jnp.ndarray, m: MapState, K: jnp.ndarray,
+                    key: jax.Array, tcfg: TrackerConfig,
+                    fcfg: FrontendConfig) -> RelocStepResult:
+    """Relocalization attempt from LOST — beyond the reference, whose LOST is
+    terminal (tracker.cpp:277-279; README.md:146 lists recovery as roadmap).
+
+    TPU-native: ORB re-detect, then one MXU Hamming matmul matches the
+    frame's descriptors against the ENTIRE landmark descriptor bank
+    ([N, B] x [B, L] — global place recognition, not just last-keyframe),
+    Lowe-ratio filter, PnP-RANSAC on the surviving 2D-3D pairs."""
+    feats = detect_and_describe(image, fcfg)
+    mm = match_descriptors(feats.desc, feats.valid,
+                           m.lm_desc.astype(jnp.float32), m.lm_valid,
+                           tcfg.lowes_distance_ratio)
+    X = m.lm_xyz[mm.idx]
+    pnp = solve_pnp_ransac(K, X, feats.uv, mm.valid, tcfg.pnp_reproj_thresh,
+                           key, num_hypotheses=fcfg.ransac_hypotheses,
+                           refine_iters=10)
+    success = pnp.count >= tcfg.reloc_min_inliers
+    lm_id = jnp.where(mm.valid & pnp.inliers, mm.idx, -1).astype(jnp.int32)
+    return RelocStepResult(
+        success=success, T_wc=se3_inverse(pnp.model),
+        obs=FrameObs(uv=feats.uv, lm_id=lm_id, valid=feats.valid),
+        n_inliers=pnp.count)
+
+
 class Tracker:
     """Host-side state machine (reference tracker.hpp:20-25).
 
@@ -195,6 +229,16 @@ class Tracker:
                key: jax.Array):
         """Process one frame. Returns (map, T_wc or None, info dict)."""
         if self.state == TrackerState.LOST:
+            if self.tcfg.enable_relocalization:
+                rel = relocalize_step(image, m, K, key, self.tcfg, self.fcfg)
+                if bool(jax.device_get(rel.success)):
+                    self.prev_pyr = build_lk_pyramid(image, self.fcfg.lk_levels)
+                    self.prev_obs = rel.obs
+                    self.state = TrackerState.TRACKING
+                    self.tracking_count = 0
+                    return m, rel.T_wc, {"state": self.state,
+                                         "relocalized": True,
+                                         "n_inliers": int(rel.n_inliers)}
             return m, None, {"state": self.state}
         if self.state == TrackerState.INITIALIZING:
             # The seed() path is how tracking actually starts; update() before
