@@ -294,6 +294,125 @@ def track_scan(carry: VOCarry, frames: jnp.ndarray, n_real: jnp.ndarray,
         carry, frames, n_real)
 
 
+def combined_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
+                  cfg: VOConfig, image_shape: tuple[int, int]):
+    """All four modes in one step — the vmap-friendly form for batched
+    multi-sequence execution (SURVEY.md section 7 "batch across sequences").
+
+    Under vmap the mode dispatch becomes a select (every branch computes for
+    every lane); that is the price of lane-divergent state machines and is
+    paid only until all lanes initialize (the host then switches to the
+    cheaper tracking-only scan)."""
+    was_tracking = carry.mode >= MODE_TRACKING
+    c_init, out_init = init_step(carry, frame, K, cfg, image_shape)
+    c_trk, out_trk = tracking_step(carry, frame, K, cfg)
+    c = _select(was_tracking, c_trk, c_init)
+    out = _select(was_tracking, out_trk, out_init)
+    return c, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "image_shape"))
+def combined_scan_batched(carry_b: VOCarry, frames_b: jnp.ndarray,
+                          n_real: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig,
+                          image_shape: tuple[int, int]):
+    """[B]-batched combined-mode scan over [B, C, H, W] frame chunks."""
+    def scan1(carry, frames):
+        return _masked_scan(
+            lambda c, f: combined_step(c, f, K, cfg, image_shape),
+            carry, frames, n_real)
+    return jax.vmap(scan1)(carry_b, frames_b)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_scan_batched(carry_b: VOCarry, frames_b: jnp.ndarray,
+                       n_real: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig):
+    """[B]-batched tracking-phase scan (all lanes in mode >= 2)."""
+    def scan1(carry, frames):
+        return _masked_scan(lambda c, f: tracking_step(c, f, K, cfg),
+                            carry, frames, n_real)
+    return jax.vmap(scan1)(carry_b, frames_b)
+
+
+class BatchedDeviceMonoVO:
+    """B independent VO lanes on one chip — the aggregate frames/s/chip
+    engine (BASELINE.json north-star metric; SURVEY.md section 7
+    "sequential dependence": batch within a frame AND across sequences).
+
+    Per-lane semantics are identical to DeviceMonoVO; lanes share compiled
+    graphs and the MXU. Host syncs once per chunk during the initialization
+    phase, never in steady state (finalize() drains deferred outputs).
+    """
+
+    def __init__(self, cfg: VOConfig, K, image_shape: tuple[int, int],
+                 batch: int, seed: int = 0, chunk: int = 32):
+        import numpy as np
+        self.cfg = cfg
+        self.batch = batch
+        self.K = jnp.asarray(np.asarray(K), jnp.float32)
+        self.image_shape = tuple(image_shape)
+        self.chunk = chunk
+        carries = [init_carry(cfg, self.image_shape, seed + 1000 * b)
+                   for b in range(batch)]
+        self.carry = jax.tree.map(lambda *xs: jnp.stack(xs), *carries)
+        self.trajectories: list[list] = [[] for _ in range(batch)]
+        self._frame_idx = 0
+        self._all_tracking = False
+        self._pending: list = []
+
+    def _pad(self, f_np):
+        import numpy as np
+        n = f_np.shape[1]
+        if n == self.chunk:
+            return f_np
+        out = np.zeros((self.batch, self.chunk) + self.image_shape,
+                       f_np.dtype)
+        out[:, :n] = f_np
+        return out
+
+    def _record(self, outs, n: int) -> None:
+        import numpy as np
+        valid = np.asarray(outs.valid)   # [B, C]
+        poses = np.asarray(outs.pose_wc)
+        for b in range(self.batch):
+            for i in range(n):
+                if valid[b, i]:
+                    self.trajectories[b].append(
+                        (float(self._frame_idx + i), poses[b, i]))
+
+    def process_chunk(self, frames_b) -> None:
+        """frames_b: [B, C, H, W] (C <= chunk; uint8 preferred)."""
+        import numpy as np
+        f = np.asarray(frames_b)
+        n = f.shape[1]
+        fdev = jnp.asarray(self._pad(f))
+        if not self._all_tracking:
+            self.carry, outs = combined_scan_batched(
+                self.carry, fdev, jnp.int32(n), self.K, self.cfg,
+                self.image_shape)
+            outs = jax.device_get(outs)
+            self._record(jax.tree.map(lambda x: x[:, :n], outs), n)
+            modes = np.asarray(outs.mode)[:, n - 1]
+            self._all_tracking = bool((modes >= MODE_TRACKING).all())
+        else:
+            self.carry, outs = track_scan_batched(
+                self.carry, fdev, jnp.int32(n), self.K, self.cfg)
+            self._pending.append((self._frame_idx, n, outs))
+        self._frame_idx += n
+
+    def finalize(self) -> None:
+        import numpy as np
+        for offset, n, outs in self._pending:
+            o = jax.device_get(jax.tree.map(lambda x: x[:, :n], outs))
+            valid = np.asarray(o.valid)
+            poses = np.asarray(o.pose_wc)
+            for b in range(self.batch):
+                for i in range(n):
+                    if valid[b, i]:
+                        self.trajectories[b].append(
+                            (float(offset + i), poses[b, i]))
+        self._pending.clear()
+
+
 class DeviceMonoVO:
     """Chunked host wrapper around the two scans (the production engine).
 

@@ -1,0 +1,56 @@
+"""Batched multi-sequence VO (aggregate frames/s/chip engine) vs per-lane
+single VO. SURVEY.md section 7: "batch across sequences"."""
+
+import numpy as np
+import pytest
+
+from ros2_mono_vo_tpu.config import VOConfig, FrontendConfig, TrackerConfig
+from ros2_mono_vo_tpu.io.synthetic import SyntheticScene
+from ros2_mono_vo_tpu.io.trajectory import ate_rmse, trajectory_positions
+from ros2_mono_vo_tpu.pipeline.device_vo import (
+    BatchedDeviceMonoVO, DeviceMonoVO)
+
+
+def small_config() -> VOConfig:
+    return VOConfig(
+        frontend=FrontendConfig(max_features=512, num_pyramid_levels=4,
+                                ransac_hypotheses=256, max_landmarks=4096,
+                                max_keyframes=16),
+        tracker=TrackerConfig(min_observations_before_triangulation=60))
+
+
+def test_batched_lanes_track_independently():
+    cfg = small_config()
+    scene = SyntheticScene(np.random.default_rng(3), image_shape=(240, 320))
+    B, n = 2, 36
+    # two lanes: same scene, different camera paths
+    paths = [scene.camera_path(n, step=0.12, lateral=0.03),
+             scene.camera_path(n, step=0.10, lateral=-0.02)]
+    frames = np.stack([np.stack(scene.render_sequence(p)) for p in paths])
+    frames8 = np.clip(frames, 0, 255).astype(np.uint8)
+
+    bvo = BatchedDeviceMonoVO(cfg, scene.K, scene.image_shape, batch=B,
+                              seed=1, chunk=12)
+    for i in range(0, n, 12):
+        bvo.process_chunk(frames8[:, i:i + 12])
+    bvo.finalize()
+
+    for b in range(B):
+        traj = bvo.trajectories[b]
+        assert len(traj) > n // 2, f"lane {b}: only {len(traj)} poses"
+        est = trajectory_positions(traj)
+        stamps = [int(s) for s, _ in traj]
+        gt = np.stack([paths[b][i][:3, 3] for i in stamps])
+        ate = ate_rmse(est, gt)
+        assert ate < 0.5, f"lane {b} ATE {ate}"
+
+    # lane 0 of the batch matches a solo run of the same lane (same seed
+    # stream => identical RNG; same frames => near-identical trajectory)
+    solo = DeviceMonoVO(cfg, scene.K, scene.image_shape, seed=1, chunk=12)
+    for i in range(0, n, 12):
+        solo.process_chunk(frames8[0, i:i + 12])
+    solo.finalize()
+    assert len(solo.trajectory) == len(bvo.trajectories[0])
+    p_solo = trajectory_positions(solo.trajectory)
+    p_lane = trajectory_positions(bvo.trajectories[0])
+    np.testing.assert_allclose(p_solo, p_lane, atol=2e-2)
