@@ -210,7 +210,8 @@ def _total_cost(prob: BAProblem, T_cw, lm_xyz, huber_delta,
 
 
 def lm_loop(prob: BAProblem, iterations: int, huber_delta: float,
-            lam0: float, psum_axis: str | None = None) -> BAResult:
+            lam0: float, psum_axis: str | None = None,
+            lam_factor: float = 10.0) -> BAResult:
     """Levenberg-Marquardt with accept/reject damping control.
 
     With `psum_axis` set, this is the distributed body: the observation axis
@@ -232,8 +233,8 @@ def lm_loop(prob: BAProblem, iterations: int, huber_delta: float,
         accept = cost_new < cost
         T_out = jnp.where(accept, T_new, T_cw)
         X_out = jnp.where(accept, X_new, lm_xyz)
-        lam_out = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9),
-                            jnp.minimum(lam * 10.0, 1e6))
+        lam_out = jnp.where(accept, jnp.maximum(lam / lam_factor, 1e-9),
+                            jnp.minimum(lam * lam_factor, 1e6))
         return (T_out, X_out, lam_out, cost_new), cost
 
     cost0 = _total_cost(prob, prob.T_cw, prob.lm_xyz, huber_delta, psum_axis)
@@ -244,8 +245,10 @@ def lm_loop(prob: BAProblem, iterations: int, huber_delta: float,
                     final_cost=cost_final, iterations=jnp.int32(iterations))
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(jax.jit, static_argnames=("iterations", "lam_factor"))
 def bundle_adjust(prob: BAProblem, iterations: int = 10,
-                  huber_delta: float = 2.0, lam0: float = 1e-3) -> BAResult:
-    """Single-device sliding-window BA."""
-    return lm_loop(prob, iterations, huber_delta, lam0, psum_axis=None)
+                  huber_delta: float = 2.0, lam0: float = 1e-3,
+                  lam_factor: float = 10.0) -> BAResult:
+    """Single-device sliding-window BA (BackendConfig.lm_* map 1:1 here)."""
+    return lm_loop(prob, iterations, huber_delta, lam0, psum_axis=None,
+                   lam_factor=lam_factor)

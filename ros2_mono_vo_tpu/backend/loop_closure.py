@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
 from ros2_mono_vo_tpu.ops.matching import match_descriptors
 from ros2_mono_vo_tpu.ops.ransac import solve_pnp_ransac
-from ros2_mono_vo_tpu.pipeline.state import MapState
+from ros2_mono_vo_tpu.pipeline.state import MapState, last_kf_slot
 
 
 class LoopCandidate(NamedTuple):
@@ -97,3 +97,133 @@ def verify_loop(m: MapState, cand_slot: jnp.ndarray, query_slot: jnp.ndarray,
     T_ab = se3_inverse(T_a_wc) @ T_b_wc
     return LoopConstraint(T_ab=T_ab, n_inliers=pnp.count,
                           ok=pnp.count >= min_inliers)
+
+
+# ---------------------------------------------------------------------------
+# Engine integration: detect -> verify -> pose-graph -> map correction
+# ---------------------------------------------------------------------------
+
+
+class LoopCloseInfo(NamedTuple):
+    """Scalar outcome of one loop-closure attempt (host-fetchable)."""
+
+    closed: jnp.ndarray       # bool — a closure was applied
+    cand_slot: jnp.ndarray    # int32 ring slot of the matched keyframe
+    score: jnp.ndarray        # place-recognition similarity
+    n_inliers: jnp.ndarray    # geometric-verification PnP inliers
+    pg_cost0: jnp.ndarray     # pose-graph cost before optimization
+    pg_cost1: jnp.ndarray     # pose-graph cost after
+
+
+def _empty_info(dtype=jnp.float32) -> LoopCloseInfo:
+    z = jnp.float32(0.0)
+    return LoopCloseInfo(closed=jnp.asarray(False),
+                         cand_slot=jnp.int32(-1), score=z,
+                         n_inliers=jnp.int32(0), pg_cost0=z, pg_cost1=z)
+
+
+def close_loop_and_correct(m: MapState, pose_wc: jnp.ndarray,
+                           K: jnp.ndarray, key: jax.Array, *,
+                           min_gap: int = 10, sim_thresh: float = 0.7,
+                           lowe_ratio: float = 0.7,
+                           reproj_thresh: float = 4.0,
+                           min_inliers: int = 30,
+                           num_hypotheses: int = 256,
+                           pgo_iterations: int = 15):
+    """One full loop-closure attempt against the latest keyframe.
+
+    detect_loop (descriptor matmul) -> verify_loop (Lowe + PnP RANSAC) ->
+    pose graph over the keyframe ring (odometry backbone + the loop edge) ->
+    write optimized poses back into the ring, re-anchor every landmark by the
+    correction of the most recent ring keyframe that observes it (the classic
+    correct-with-reference-keyframe map update), and correct the current
+    tracking pose by the last keyframe's correction.
+
+    This is the engine-side realization of the reference's roadmap "Loop
+    Closing" + "Pose Graph Optimization" (reference README.md:97). Everything
+    is device code under `lax.cond`s: no closure, (almost) no cost.
+
+    Returns (MapState, pose_wc [4,4], LoopCloseInfo).
+    """
+    from ros2_mono_vo_tpu.backend.pose_graph import (PoseGraph, graph_cost,
+                                                     odometry_edges,
+                                                     optimize_pose_graph)
+
+    kmax = m.kf_valid.shape[0]
+    L = m.lm_valid.shape[0]
+    query = last_kf_slot(m)
+    cand = detect_loop(m, query, min_gap=min_gap, sim_thresh=sim_thresh)
+
+    def no_close(_):
+        return m, pose_wc, _empty_info()._replace(
+            cand_slot=cand.slot, score=cand.score)
+
+    def attempt(_):
+        con = verify_loop(m, cand.slot, query, K, key,
+                          lowe_ratio=lowe_ratio,
+                          reproj_thresh=reproj_thresh,
+                          min_inliers=min_inliers,
+                          num_hypotheses=num_hypotheses)
+
+        def do_close(_):
+            # --- ring -> temporally ordered pose-graph nodes ---
+            first = jnp.where(m.kf_count > kmax, m.kf_count % kmax, 0)
+            order = (first + jnp.arange(kmax)) % kmax
+            T_old = m.kf_pose_wc[order]                # [Kmax, 4, 4]
+            nvalid = m.kf_valid[order]
+            ei, ej, Tij, w = odometry_edges(T_old, nvalid)
+            # loop edge between the ordered positions of (cand, query)
+            a_ord = ((cand.slot - first) % kmax).astype(jnp.int32)
+            q_ord = ((query - first) % kmax).astype(jnp.int32)
+            edge_i = jnp.concatenate([ei, a_ord[None]])
+            edge_j = jnp.concatenate([ej, q_ord[None]])
+            T_edges = jnp.concatenate([Tij, con.T_ab[None]])
+            weights = jnp.concatenate([w, jnp.ones((1,), w.dtype)])
+            fixed = (jnp.arange(kmax) == 0) | ~nvalid
+            g = PoseGraph(T_w=T_old, edge_i=edge_i, edge_j=edge_j,
+                          T_ij=T_edges, edge_weight=weights, fixed=fixed)
+            cost0 = graph_cost(g)
+            T_new, cost1 = optimize_pose_graph(g, iterations=pgo_iterations)
+
+            # --- write poses back to the ring ---
+            kf_pose = m.kf_pose_wc.at[order].set(
+                jnp.where(nvalid[:, None, None], T_new, T_old))
+
+            # --- landmark re-anchoring: each landmark moves with the most
+            # recent ring keyframe that observes it ---
+            delta = T_new @ se3_inverse(T_old)         # [Kmax, 4, 4]
+            obs_ok = ((m.kf_lm_id >= 0) & m.kf_obs_valid
+                      & m.kf_valid[:, None])            # [Kmax, N]
+            slot_lm = jnp.where(obs_ok, m.kf_lm_id, L)
+            # temporal order (1-based; 0 = not observed in the ring)
+            o_of_slot = ((jnp.arange(kmax) - first) % kmax + 1).astype(jnp.int32)
+            o_bc = jnp.broadcast_to(o_of_slot[:, None], slot_lm.shape)
+            anchor = jnp.zeros((L,), jnp.int32).at[slot_lm.reshape(-1)].max(
+                o_bc.reshape(-1), mode="drop")          # [L] in [0, Kmax]
+            delta_ext = jnp.concatenate(
+                [jnp.eye(4, dtype=delta.dtype)[None], delta])  # [Kmax+1, 4, 4]
+            # gather-as-matmul: [L, Kmax+1] one-hot @ [Kmax+1, 16]
+            onehot = (anchor[:, None]
+                      == jnp.arange(kmax + 1)[None, :]).astype(delta.dtype)
+            D = (onehot @ delta_ext.reshape(kmax + 1, 16)).reshape(L, 4, 4)
+            X_new = jnp.einsum("lij,lj->li", D[:, :3, :3], m.lm_xyz) \
+                + D[:, :3, 3]
+
+            # --- current tracking pose moves with the last keyframe ---
+            pose_new = delta[q_ord] @ pose_wc
+
+            m_new = m._replace(kf_pose_wc=kf_pose, lm_xyz=X_new)
+            info = LoopCloseInfo(closed=jnp.asarray(True),
+                                 cand_slot=cand.slot, score=cand.score,
+                                 n_inliers=con.n_inliers,
+                                 pg_cost0=cost0, pg_cost1=cost1)
+            return m_new, pose_new, info
+
+        def no(_):
+            return m, pose_wc, _empty_info()._replace(
+                cand_slot=cand.slot, score=cand.score,
+                n_inliers=con.n_inliers)
+
+        return jax.lax.cond(con.ok, do_close, no, None)
+
+    return jax.lax.cond(cand.ok, attempt, no_close, None)

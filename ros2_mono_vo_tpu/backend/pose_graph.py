@@ -48,6 +48,12 @@ def _edge_residual_jacobians(T_i, T_j, T_ij):
     return r, Ji, Jj
 
 
+def graph_cost(g: PoseGraph) -> jnp.ndarray:
+    """Weighted sum of squared se(3) edge residuals at the current poses."""
+    r = jax.vmap(_edge_residual)(g.T_w[g.edge_i], g.T_w[g.edge_j], g.T_ij)
+    return jnp.sum(jnp.sum(r * r, -1) * g.edge_weight)
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def optimize_pose_graph(g: PoseGraph, iterations: int = 20,
                         lam0: float = 1e-4):

@@ -104,6 +104,14 @@ class BackendConfig:
     lm_lambda_factor: float = 10.0
     huber_delta: float = 2.0          # pixels, robust loss on reprojection
     max_window_landmarks: int = 8192
+    # Loop closure + pose-graph (engine-integrated; reference README.md:97
+    # roadmap). Off by default to preserve reference parity semantics.
+    enable_loop_closure: bool = False
+    lc_min_gap: int = 10              # min keyframe separation for candidates
+    lc_sim_thresh: float = 0.7        # place-recognition similarity gate
+    lc_reproj_thresh: float = 4.0     # PnP verification threshold (px)
+    lc_min_inliers: int = 30          # PnP inliers to accept a closure
+    pgo_iterations: int = 15          # pose-graph Gauss-Newton iterations
 
 
 @dataclasses.dataclass(frozen=True)

@@ -107,5 +107,20 @@ class SyntheticScene:
             poses.append(T)
         return poses
 
+    def loop_path(self, n_frames: int, radius: float = 2.0,
+                  revisit_frames: int = 6) -> list[np.ndarray]:
+        """Closed loop in the x-y plane (camera keeps facing +z so every
+        frame sees the textured planes): the trajectory circles back to the
+        start and re-traverses the first arc for `revisit_frames` frames —
+        the revisit that loop closure must discover."""
+        poses = []
+        total = n_frames - revisit_frames
+        for i in range(n_frames):
+            th = 2 * np.pi * (i % total) / total
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = [radius * np.sin(th), radius * (1 - np.cos(th)) * 0.6, 0.0]
+            poses.append(T)
+        return poses
+
     def render_sequence(self, poses: list[np.ndarray]) -> list[np.ndarray]:
         return [self.render(T) for T in poses]

@@ -53,13 +53,19 @@ class FlowResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("levels",))
 def build_lk_pyramid(image: jnp.ndarray, levels: int) -> tuple[jnp.ndarray, ...]:
-    """Factor-2 pyramid via 2x2 average pooling (even-cropped, static shapes)."""
+    """Factor-2 pyramid via 2x2 average pooling (even-cropped, static shapes).
+
+    Pooling is a (2, 2)-window reduce_window — stride-2 SLICING of an [H, W]
+    image lowers to ~6 ms of strided-copy HLO on TPU, while the identical
+    reduce_window runs in ~30 us (measured; same trap as lax.conv, see
+    ops/features._sep_filter)."""
     out = [image]
     img = image
     for _ in range(levels - 1):
         h, w = img.shape
         img = img[: h - h % 2, : w - w % 2]
-        img = (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2]) * 0.25
+        img = jax.lax.reduce_window(img, 0.0, jax.lax.add, (2, 2), (2, 2),
+                                    "VALID") * 0.25
         out.append(img)
     return tuple(out)
 

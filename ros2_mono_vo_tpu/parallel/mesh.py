@@ -20,6 +20,9 @@ from jax.sharding import Mesh, PartitionSpec, NamedSharding
 
 OBS_AXIS = "obs"
 HYP_AXIS = "hyp"
+# landmark/model parallelism: each device owns a landmark shard + the
+# observations touching it (parallel/dist_ba.py landmark_sharded_*)
+LM_AXIS = "lm"
 
 
 def make_mesh(n_devices: int | None = None, axis: str = OBS_AXIS) -> Mesh:

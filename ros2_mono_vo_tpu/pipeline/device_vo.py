@@ -45,6 +45,7 @@ class VOCarry(NamedTuple):
     pose_wc: jnp.ndarray       # last pose (identity until initialized)
     tracking_count: jnp.ndarray
     tracking_valid: jnp.ndarray  # scalar bool
+    lc_count: jnp.ndarray      # kf_count at the last loop-closure check
 
 
 class VOStepOut(NamedTuple):
@@ -87,6 +88,7 @@ def init_carry(cfg: VOConfig, image_shape: tuple[int, int],
         pose_wc=jnp.eye(4, dtype=jnp.float32),
         tracking_count=jnp.int32(0),
         tracking_valid=jnp.asarray(False),
+        lc_count=jnp.int32(0),
     )
 
 
@@ -294,6 +296,39 @@ def track_scan(carry: VOCarry, frames: jnp.ndarray, n_real: jnp.ndarray,
         carry, frames, n_real)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def loop_closure_step(carry: VOCarry, K: jnp.ndarray, cfg: VOConfig):
+    """Device-side loop-closure attempt against the latest keyframe
+    (detect -> verify -> pose graph -> map + pose correction; see
+    backend/loop_closure.close_loop_and_correct). Fires only when a keyframe
+    was added since the last check — otherwise the `lax.cond` skips all the
+    expensive branches. One dispatch, no host fetch required."""
+    from ros2_mono_vo_tpu.backend.loop_closure import (close_loop_and_correct,
+                                                       _empty_info)
+    bcfg, tcfg, fcfg = cfg.backend, cfg.tracker, cfg.frontend
+    key, k_lc = jax.random.split(carry.key)
+    fire = (carry.map.kf_count > carry.lc_count) \
+        & (carry.mode == MODE_TRACKING)
+
+    def go(_):
+        return close_loop_and_correct(
+            carry.map, carry.pose_wc, K, k_lc,
+            min_gap=bcfg.lc_min_gap, sim_thresh=bcfg.lc_sim_thresh,
+            lowe_ratio=tcfg.lowes_distance_ratio,
+            reproj_thresh=bcfg.lc_reproj_thresh,
+            min_inliers=bcfg.lc_min_inliers,
+            num_hypotheses=fcfg.ransac_hypotheses // 2,
+            pgo_iterations=bcfg.pgo_iterations)
+
+    def skip(_):
+        return carry.map, carry.pose_wc, _empty_info()
+
+    m, pose, info = jax.lax.cond(fire, go, skip, None)
+    carry = carry._replace(map=m, pose_wc=pose, key=key,
+                           lc_count=carry.map.kf_count)
+    return carry, info
+
+
 def combined_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
                   cfg: VOConfig, image_shape: tuple[int, int]):
     """All four modes in one step — the vmap-friendly form for batched
@@ -434,9 +469,15 @@ class DeviceMonoVO:
         self.sync = sync
         self.carry = init_carry(cfg, self.image_shape, seed)
         self.trajectory: list = []
+        self.loop_closures: list = []   # (frame_idx, LoopCloseInfo-as-dict)
         self._frame_idx = 0
         self._tracking = False
         self._pending: list = []   # (offset, n, device VOStepOut)
+        self._lc_pending: list = []  # (frame_idx, device LoopCloseInfo)
+        # odometry-surface bookkeeping (reference mono_vo.hpp:64-71)
+        self._last_pose = None
+        self._tracking_valid = False
+        self._last_valid_stamp = None
 
     def _record(self, outs, offset: int) -> None:
         import numpy as np
@@ -444,8 +485,12 @@ class DeviceMonoVO:
         poses = np.asarray(outs.pose_wc)
         for i in range(len(valid)):
             if valid[i]:
-                self.trajectory.append(
-                    (float(self._frame_idx + offset + i), poses[i]))
+                stamp = float(self._frame_idx + offset + i)
+                self.trajectory.append((stamp, poses[i]))
+                self._last_pose = poses[i]
+                self._last_valid_stamp = stamp
+        if len(valid):
+            self._tracking_valid = bool(valid[-1])
 
     def _pad(self, f_np):
         import numpy as np
@@ -516,7 +561,20 @@ class DeviceMonoVO:
             for i in range(n):
                 if valid[i]:
                     self.trajectory.append((float(offset + i), poses[i]))
+                    self._last_pose = poses[i]
+                    self._last_valid_stamp = float(offset + i)
+            if n:
+                self._tracking_valid = bool(valid[n - 1])
         self._pending.clear()
+        for fidx, info in self._lc_pending:
+            o = jax.device_get(info)
+            if bool(o.closed):
+                self.loop_closures.append((fidx, {
+                    "cand_slot": int(o.cand_slot), "score": float(o.score),
+                    "n_inliers": int(o.n_inliers),
+                    "pg_cost0": float(o.pg_cost0),
+                    "pg_cost1": float(o.pg_cost1)}))
+        self._lc_pending.clear()
 
     def process_chunk(self, frames) -> VOStepOut:
         """frames: [C, H, W] array-like (any C; uint8 preferred — it is the
@@ -527,24 +585,51 @@ class DeviceMonoVO:
             f = f.astype(np.float32)
         pieces = [self._process_fixed(f[i:i + self.chunk])
                   for i in range(0, len(f), self.chunk)]
+        if self.cfg.backend.enable_loop_closure and self._tracking:
+            self.carry, lc_info = loop_closure_step(self.carry, self.K,
+                                                    self.cfg)
+            self._lc_pending.append((self._frame_idx, lc_info))
         if len(pieces) == 1:
             return pieces[0]
         if any(p is None for p in pieces):
             return None
         return jax.tree.map(lambda *xs: np.concatenate(xs), *pieces)
 
-    def run_local_ba(self, iterations: int = 8) -> None:
+    def odometry(self, stamp: float) -> dict | None:
+        """Rate-decoupled odometry snapshot with covariance growth while
+        tracking is invalid (reference publish_odom, mono_vo.cpp:155-198) —
+        the same degradation contract the host MonoVO exposes, now on the
+        production engine. Drains deferred chunks first (the decoupled
+        "timer" is allowed to sync; the frame path never does)."""
+        from ros2_mono_vo_tpu.utils.odometry import odometry_snapshot
+        self.finalize()
+        return odometry_snapshot(self._last_pose, self._tracking_valid,
+                                 self._last_valid_stamp, stamp)
+
+    def keyframe_poses(self):
+        """Keyframe ring poses + validity (host copies) in ring-slot order —
+        reflects pose-graph corrections after loop closures."""
+        import numpy as np
+        m = self.carry.map
+        return (np.asarray(m.kf_pose_wc), np.asarray(m.kf_valid),
+                int(np.asarray(m.kf_count)))
+
+    def run_local_ba(self, iterations: int | None = None) -> None:
         """Sliding-window bundle adjustment over the keyframe ring
         (BASELINE.json config #4). Pure device work — no host fetch; call
-        between chunks to tighten the map."""
+        between chunks to tighten the map. Defaults come from
+        BackendConfig (lm_iterations / lm_lambda_init / lm_lambda_factor)."""
         from ros2_mono_vo_tpu.backend.window import extract_window, apply_window
         from ros2_mono_vo_tpu.backend.ba import bundle_adjust
         bcfg = self.cfg.backend
         prob, info = extract_window(self.carry.map, self.K,
                                     window=bcfg.window_size,
                                     capacity=bcfg.max_window_landmarks)
-        res = bundle_adjust(prob, iterations=iterations,
+        res = bundle_adjust(prob,
+                            iterations=(bcfg.lm_iterations
+                                        if iterations is None else iterations),
                             huber_delta=bcfg.huber_delta,
-                            lam0=bcfg.lm_lambda_init)
+                            lam0=bcfg.lm_lambda_init,
+                            lam_factor=bcfg.lm_lambda_factor)
         m = apply_window(self.carry.map, res.T_cw, res.lm_xyz, info)
         self.carry = self.carry._replace(map=m)

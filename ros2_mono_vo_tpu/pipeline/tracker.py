@@ -79,9 +79,12 @@ def track_step(prev_pyr, cur_pyr, prev_obs: FrameObs, m: MapState,
     ids = jnp.clip(prev_obs.lm_id, 0, L - 1)
     X = m.lm_xyz[ids]
     pnp_valid = good & m.lm_valid[ids]
+    # The reference runs pnp_iterations (=100) sequential RANSAC rounds
+    # (tracker.cpp:309); hypothesis-parallel equivalent = that many minimal
+    # sets drawn at once, rounded up to the TPU lane multiple.
+    n_hyp = -(-tcfg.pnp_iterations // 128) * 128
     pnp = solve_pnp_ransac(K, X, flow.uv, pnp_valid, tcfg.pnp_reproj_thresh,
-                           key, num_hypotheses=fcfg.ransac_hypotheses // 2,
-                           refine_iters=10)
+                           key, num_hypotheses=n_hyp, refine_iters=10)
     T_wc = se3_inverse(pnp.model)
 
     # keyframe decision (tracker.cpp:118-136): too few obs | too many frames

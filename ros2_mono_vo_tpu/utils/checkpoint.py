@@ -7,8 +7,8 @@ straight serialization of (keyframe poses, landmark blocks, counters, state
 machine mode, RNG key) and resume restores the state machines exactly —
 every step is a pure function of this state, so recovery = re-enter the step.
 
-Orbax handles the array tree; the static config is stored alongside and
-validated on load.
+The array tree is serialized with numpy's npz container (no external
+checkpoint deps); the static config is stored alongside and validated on load.
 """
 
 from __future__ import annotations

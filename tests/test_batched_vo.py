@@ -57,4 +57,12 @@ def test_batched_lanes_track_independently():
     p_solo = trajectory_positions(solo.trajectory)
     stamps = [int(s) for s, _ in solo.trajectory]
     gt = np.stack([paths[0][i][:3, 3] for i in stamps])
-    assert ate_rmse(p_solo, gt) < 0.5
+    ate_solo = ate_rmse(p_solo, gt)
+    assert ate_solo < 0.5
+    # and the batched lane-0 accuracy is CLOSE to the solo accuracy — a
+    # systematic batched-vs-solo gap (not just both under the bound) fails.
+    traj0 = bvo.trajectories[0]
+    est0 = trajectory_positions(traj0)
+    gt0 = np.stack([paths[0][int(s)][:3, 3] for s, _ in traj0])
+    ate_lane0 = ate_rmse(est0, gt0)
+    assert abs(ate_solo - ate_lane0) < 0.2, (ate_solo, ate_lane0)

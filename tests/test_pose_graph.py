@@ -167,6 +167,39 @@ class TestLoopClosure:
         T_ab = np.asarray(con.T_ab)
         np.testing.assert_allclose(T_ab[:3, 3], T_true[:3, 3], atol=0.05)
 
+    def test_close_loop_and_correct(self):
+        """Full device-side closure: detect -> verify -> pose graph ->
+        ring write-back + landmark re-anchor + current-pose correction."""
+        from ros2_mono_vo_tpu.backend.loop_closure import close_loop_and_correct
+        m, Kmat, T_true = self._build_map_with_revisit()
+        lm_before = np.asarray(m.lm_xyz).copy()
+        q_slot = 13
+        T_drifted = np.asarray(m.kf_pose_wc[q_slot])
+        err_before = np.linalg.norm(T_drifted[:3, 3] - T_true[:3, 3])
+        assert err_before > 0.5  # there is drift to fix
+
+        pose_cur = jnp.asarray(T_drifted)  # tracking pose = last KF pose
+        m2, pose2, info = close_loop_and_correct(
+            m, pose_cur, jnp.asarray(Kmat), jax.random.PRNGKey(0),
+            min_gap=5, sim_thresh=0.5, reproj_thresh=4.0, min_inliers=30,
+            pgo_iterations=20)
+        assert bool(info.closed), f"inliers {int(info.n_inliers)}"
+        assert int(info.cand_slot) == 0
+        assert float(info.pg_cost1) < float(info.pg_cost0)
+
+        # query keyframe pulled toward its true pose
+        T_q_after = np.asarray(m2.kf_pose_wc[q_slot])
+        err_after = np.linalg.norm(T_q_after[:3, 3] - T_true[:3, 3])
+        assert err_after < 0.5 * err_before, (err_before, err_after)
+        # current pose moved by the same correction as the query keyframe
+        delta_kf = T_q_after @ np.linalg.inv(T_drifted)
+        np.testing.assert_allclose(np.asarray(pose2),
+                                   delta_kf @ T_drifted, atol=1e-4)
+        # landmarks anchored to the (fixed) origin keyframe stay put
+        L = 200
+        np.testing.assert_allclose(np.asarray(m2.lm_xyz)[:L],
+                                   lm_before[:L], atol=1e-4)
+
     def test_no_false_loop_on_distinct_scene(self):
         from ros2_mono_vo_tpu.backend.loop_closure import detect_loop
         from ros2_mono_vo_tpu.config import FrontendConfig

@@ -7,13 +7,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO_ROOT, ".jax_cache"))
 
 from ros2_mono_vo_tpu.config import VOConfig, FrontendConfig
 from ros2_mono_vo_tpu.ops.lk import build_lk_pyramid, lk_track
