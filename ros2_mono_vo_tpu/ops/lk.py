@@ -39,8 +39,12 @@ from ros2_mono_vo_tpu.ops.pallas.patch import (extract_patches,
 from ros2_mono_vo_tpu.ops.sampling import (bilinear_weights, onehot_rows,
                                            sample_patch)
 
-# Iteration drift headroom (pixels, per level) inside the next-image patch.
+# Iteration drift headroom (pixels) inside the next-image patch: full-motion
+# capture at the coarsest level, residual correction at finer levels (the
+# compacted patch — and every per-iteration sampling matmul over it — shrinks
+# with the headroom).
 _DRIFT = 13
+_DRIFT_FINE = 8
 # Patch lane width (multiple of 128 >= win + 1 + 127).
 _PW = 256
 
@@ -85,8 +89,6 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
     r = win // 2
     ext = win + 2                        # window + gradient halo
     ph_prev = _ceil_to(ext + 1 + 7, 8)   # + bilinear tap + alignment slack
-    ph_next = _ceil_to(win + 2 * _DRIFT + 2 + 7, 8)
-    pc = win + 2 * _DRIFT + 2            # compacted next patch (y-slack gone)
     min_eig_thresh = 1e-4 * (win * win)
 
     n = uv.shape[0]
@@ -95,6 +97,9 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
     ok = valid
 
     for li in range(levels - 1, -1, -1):
+        drift = _DRIFT if li == levels - 1 else _DRIFT_FINE
+        ph_next = _ceil_to(win + 2 * drift + 2 + 7, 8)
+        pc = win + 2 * drift + 2         # compacted next patch (y-slack gone)
         prev_img = prev_pyr[li]
         next_img = next_pyr[li]
         h, w = prev_img.shape
@@ -135,8 +140,8 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
         # ---- next: aligned gather + integer compaction to [N, pc, pc] ----
         guess = uv_l + flow
         des_next = jnp.stack(
-            [jnp.floor(guess[:, 1]) - (r + _DRIFT),
-             jnp.floor(guess[:, 0]) - (r + _DRIFT)], -1).astype(jnp.int32)
+            [jnp.floor(guess[:, 1]) - (r + drift),
+             jnp.floor(guess[:, 0]) - (r + drift)], -1).astype(jnp.int32)
         o_next = aligned_origins(des_next, hp, wp, ph_next, _PW)
         patches_next = extract_patches(next_p, o_next, ph_next, _PW)
         used = jnp.stack(
@@ -156,7 +161,7 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
                 (loc0_x + delta[:, 0])[:, None] + offs_win, pc)
             return sample_patch(compact, wy, wx)             # [N, win, win]
 
-        def body(_, delta):
+        def body(delta):
             jw = sample_next(delta)
             di = jw - iw
             b1 = jnp.sum(di * gxw, (-2, -1))
@@ -164,14 +169,21 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
             dv = jnp.stack([i11 * b1 + i12 * b2, i12 * b1 + i22 * b2], -1)
             return delta - dv
 
-        delta = jax.lax.fori_loop(0, iters, body, jnp.zeros_like(flow))
-        jw = sample_next(delta)
-        err_l = jnp.mean(jnp.abs(jw - iw), (-2, -1))
+        # UNROLLED (static trip count): a lax.fori_loop body of tiny batched
+        # matmuls pays per-iteration loop overhead; unrolling lets XLA fuse
+        # and pipeline across iterations. The error sample is only needed
+        # where it is consumed (level 0).
+        delta = jnp.zeros_like(flow)
+        for _ in range(iters):
+            delta = body(delta)
+        if li == 0:
+            jw = sample_next(delta)
+            err_l = jnp.mean(jnp.abs(jw - iw), (-2, -1))
 
         tracked = uv_l + flow + delta
         inside = ((tracked[:, 0] >= r) & (tracked[:, 0] < w - r)
                   & (tracked[:, 1] >= r) & (tracked[:, 1] < h - r))
-        in_patch = jnp.all(jnp.abs(delta) <= _DRIFT - 1, axis=-1)
+        in_patch = jnp.all(jnp.abs(delta) <= drift - 1, axis=-1)
         good = valid & invertible & inside & in_patch
 
         # A point that wanders out at a coarse level keeps its guess and gets
