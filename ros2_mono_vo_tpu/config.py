@@ -84,6 +84,14 @@ class FrontendConfig:
     lk_iterations: int = 10
     # RANSAC hypothesis batch (hypothesis-parallel engine)
     ransac_hypotheses: int = 512
+    # Frame-to-frame tracking slot capacity. Only landmark-bearing
+    # observations are LK-tracked (reference tracker.cpp:61-62 filters
+    # WITH_LANDMARKS); their count is bounded by last-keyframe matches and
+    # is typically 200-500 of the 1000 detected features, so a smaller slot
+    # bank halves every per-point cost in the hot path (LK sampling, PnP
+    # scoring). When more survive, the lowest-slot subset is kept —
+    # divergence from the reference's unbounded vector, documented here.
+    max_track_points: int = 512
     # Map capacities
     max_landmarks: int = 16384
     max_keyframes: int = 64

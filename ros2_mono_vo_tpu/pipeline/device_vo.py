@@ -25,7 +25,8 @@ from ros2_mono_vo_tpu.config import VOConfig
 from ros2_mono_vo_tpu.ops.features import (Features, detect_and_describe,
                                            occupancy_grid_check)
 from ros2_mono_vo_tpu.ops.lk import build_lk_pyramid
-from ros2_mono_vo_tpu.pipeline.state import MapState, FrameObs, empty_map
+from ros2_mono_vo_tpu.pipeline.state import (MapState, FrameObs, compact_obs,
+                                             empty_map)
 from ros2_mono_vo_tpu.pipeline.initializer import init_attempt, seed_map
 from ros2_mono_vo_tpu.pipeline.tracker import track_step, keyframe_step
 
@@ -74,7 +75,7 @@ def _empty_features(fcfg) -> Features:
 def init_carry(cfg: VOConfig, image_shape: tuple[int, int],
                seed: int = 0) -> VOCarry:
     fcfg = cfg.frontend
-    n = fcfg.max_features
+    nt = min(fcfg.max_track_points, fcfg.max_features)
     zero_img = jnp.zeros(image_shape, jnp.float32)
     return VOCarry(
         mode=jnp.int32(MODE_OBTAIN_REF),
@@ -82,9 +83,9 @@ def init_carry(cfg: VOConfig, image_shape: tuple[int, int],
         ref=_empty_features(fcfg),
         map=empty_map(fcfg),
         prev_pyr=build_lk_pyramid(zero_img, fcfg.lk_levels),
-        prev_obs=FrameObs(uv=jnp.zeros((n, 2), jnp.float32),
-                          lm_id=jnp.full((n,), -1, jnp.int32),
-                          valid=jnp.zeros((n,), bool)),
+        prev_obs=FrameObs(uv=jnp.zeros((nt, 2), jnp.float32),
+                          lm_id=jnp.full((nt,), -1, jnp.int32),
+                          valid=jnp.zeros((nt,), bool)),
         pose_wc=jnp.eye(4, dtype=jnp.float32),
         tracking_count=jnp.int32(0),
         tracking_valid=jnp.asarray(False),
@@ -157,7 +158,9 @@ def init_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
             prev_pyr=_select(success, cur_pyr, c.prev_pyr),
             prev_obs=_select(
                 success,
-                FrameObs(uv=feats.uv, lm_id=cur_lm_id, valid=feats.valid),
+                compact_obs(
+                    FrameObs(uv=feats.uv, lm_id=cur_lm_id,
+                             valid=feats.valid), fcfg.max_track_points),
                 c.prev_obs),
             # reference publishes identity as the first pose (mono_vo.cpp:108)
             pose_wc=jnp.where(success, jnp.eye(4, dtype=jnp.float32),

@@ -148,3 +148,29 @@ def landmark_uv_lookup(m: MapState, kf_slot: jnp.ndarray):
 def landmark_points(m: MapState) -> tuple[jnp.ndarray, jnp.ndarray]:
     """All landmark positions + mask (pointcloud export, map.cpp:52-60)."""
     return m.lm_xyz, m.lm_valid
+
+
+def compact_obs(obs: FrameObs, nt: int) -> FrameObs:
+    """Pack landmark-bearing observations into the first `nt` slots.
+
+    The tracker only flows observations WITH landmarks (reference
+    tracker.cpp:61-62), which are far fewer than the detected-feature
+    capacity; compacting them into a small fixed bank halves every
+    per-point cost downstream (LK sampling matmuls, PnP residual grids).
+    Runs only at keyframe/seed/reloc boundaries, never per frame.
+
+    Stable: surviving observations keep their relative slot order. Overflow
+    beyond `nt` is dropped (divergence from the reference's unbounded
+    observation vector — see FrontendConfig.max_track_points).
+    """
+    keep = obs.valid & (obs.lm_id >= 0)
+    n = keep.shape[0]
+    if nt >= n:
+        return FrameObs(uv=obs.uv, lm_id=jnp.where(keep, obs.lm_id, -1),
+                        valid=keep)
+    order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+    idx = order[:nt]
+    k = keep[idx]
+    return FrameObs(uv=obs.uv[idx],
+                    lm_id=jnp.where(k, obs.lm_id[idx], -1),
+                    valid=k)

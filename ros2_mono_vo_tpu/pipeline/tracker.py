@@ -37,8 +37,8 @@ from ros2_mono_vo_tpu.ops.matching import match_descriptors
 from ros2_mono_vo_tpu.ops.ransac import solve_pnp_ransac
 from ros2_mono_vo_tpu.pipeline.initializer import check_parallax
 from ros2_mono_vo_tpu.pipeline.state import (
-    MapState, FrameObs, add_keyframe, allocate_landmarks, landmark_uv_lookup,
-    last_kf_slot,
+    MapState, FrameObs, add_keyframe, allocate_landmarks, compact_obs,
+    landmark_uv_lookup, last_kf_slot,
 )
 
 
@@ -114,7 +114,7 @@ def keyframe_step(image: jnp.ndarray, tracked: FrameObs, T_wc: jnp.ndarray,
     is false (the map is functional — no rollback needed)."""
     k_par, k_unused = jax.random.split(key)
     L = m.lm_valid.shape[0]
-    n = tracked.uv.shape[0]
+    n = fcfg.max_features        # feature-slot count of the NEW keyframe
     last = last_kf_slot(m)
 
     # --- has_parallax (tracker.cpp:237-268), index-aligned by landmark id ---
@@ -161,7 +161,9 @@ def keyframe_step(image: jnp.ndarray, tracked: FrameObs, T_wc: jnp.ndarray,
     return KeyframeStepResult(
         parallax_ok=parallax_ok,
         map=m3,
-        obs=FrameObs(uv=feats.uv, lm_id=cur_lm_id, valid=feats.valid),
+        obs=compact_obs(
+            FrameObs(uv=feats.uv, lm_id=cur_lm_id, valid=feats.valid),
+            fcfg.max_track_points),
         n_new_landmarks=jnp.sum(new_ids >= 0))
 
 
@@ -195,7 +197,9 @@ def relocalize_step(image: jnp.ndarray, m: MapState, K: jnp.ndarray,
     lm_id = jnp.where(mm.valid & pnp.inliers, mm.idx, -1).astype(jnp.int32)
     return RelocStepResult(
         success=success, T_wc=se3_inverse(pnp.model),
-        obs=FrameObs(uv=feats.uv, lm_id=lm_id, valid=feats.valid),
+        obs=compact_obs(
+            FrameObs(uv=feats.uv, lm_id=lm_id, valid=feats.valid),
+            fcfg.max_track_points),
         n_inliers=pnp.count)
 
 
@@ -224,7 +228,7 @@ class Tracker:
         """Seed from the initializer's reference frame (the TRACKING
         transition at tracker.cpp:282-286, fed by mono_vo.cpp:104-112)."""
         self.prev_pyr = pyr
-        self.prev_obs = obs
+        self.prev_obs = compact_obs(obs, self.fcfg.max_track_points)
         self.state = TrackerState.TRACKING
         self.tracking_count = 0
 

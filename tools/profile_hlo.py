@@ -47,11 +47,14 @@ key = jax.random.PRNGKey(0)
 
 pyr1 = build_lk_pyramid(img1, fcfg.lk_levels)
 pyr2 = build_lk_pyramid(img2, fcfg.lk_levels)
-N = fcfg.max_features
+N = fcfg.max_track_points      # tracked-obs bank (the hot-path width)
+NF = fcfg.max_features
 L = fcfg.max_landmarks
 uv = jnp.asarray(rng.uniform(30, 300, (N, 2)).astype(np.float32))
 lm_id = jnp.asarray((rng.permutation(N) % L).astype(np.int32))
 obs = FrameObs(uv=uv, lm_id=lm_id, valid=jnp.ones((N,), bool))
+uv_f = jnp.asarray(rng.uniform(30, 300, (NF, 2)).astype(np.float32))
+lm_id_f = jnp.asarray((rng.permutation(NF) % L).astype(np.int32))
 m = empty_map(fcfg)
 m = m._replace(
     lm_xyz=jnp.asarray(rng.uniform(-5, 5, (L, 3)).astype(np.float32)
@@ -60,12 +63,12 @@ m = m._replace(
     lm_count=jnp.int32(L),
     kf_count=jnp.int32(1),
     kf_valid=m.kf_valid.at[0].set(True),
-    kf_uv=m.kf_uv.at[0].set(uv),
-    kf_lm_id=m.kf_lm_id.at[0].set(lm_id),
+    kf_uv=m.kf_uv.at[0].set(uv_f),
+    kf_lm_id=m.kf_lm_id.at[0].set(lm_id_f),
     kf_obs_valid=m.kf_obs_valid.at[0].set(True),
     last_kf_desc=jnp.asarray(
-        np.where(rng.uniform(size=(N, 256)) > 0.5, 1.0, -1.0).astype(np.float32)),
-    last_kf_desc_valid=jnp.ones((N,), bool))
+        np.where(rng.uniform(size=(NF, 256)) > 0.5, 1.0, -1.0).astype(np.float32)),
+    last_kf_desc_valid=jnp.ones((NF,), bool))
 X3 = m.lm_xyz[jnp.clip(lm_id, 0, L - 1)]
 vmask = jnp.ones((N,), bool)
 T_wc = jnp.eye(4, dtype=jnp.float32)
