@@ -181,9 +181,10 @@ def init_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
 
 
 def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
-                  cfg: VOConfig):
+                  cfg: VOConfig, d: jnp.ndarray | None = None):
     """One frame through the tracking phase (modes 2/3; earlier modes never
-    reach this scan)."""
+    reach this scan). `d` = optional [5] plumb-bob coefficients, consumed
+    only by PnP (reference tracker.cpp:309)."""
     tcfg, fcfg = cfg.tracker, cfg.frontend
     frame = frame.astype(jnp.float32)
 
@@ -194,7 +195,7 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
         k_track, k_kf = jax.random.split(k_frame)
         cur_pyr = build_lk_pyramid(frame, fcfg.lk_levels)
         res = track_step(c.prev_pyr, cur_pyr, c.prev_obs, c.map, K, k_track,
-                         c.tracking_count + 1, tcfg, fcfg)
+                         c.tracking_count + 1, tcfg, fcfg, d=d)
         lost = res.n_tracked < tcfg.min_tracked_points
 
         def do_kf(_):
@@ -237,7 +238,7 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
         from ros2_mono_vo_tpu.pipeline.tracker import relocalize_step
         key, k_rel = jax.random.split(c.key)
         c = c._replace(key=key)
-        rel = relocalize_step(frame, c.map, K, k_rel, tcfg, fcfg)
+        rel = relocalize_step(frame, c.map, K, k_rel, tcfg, fcfg, d=d)
         cur_pyr = build_lk_pyramid(frame, fcfg.lk_levels)
         mode = jnp.where(rel.success, MODE_TRACKING, MODE_LOST).astype(jnp.int32)
         c = c._replace(
@@ -292,10 +293,10 @@ def init_scan(carry: VOCarry, frames: jnp.ndarray, n_real: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def track_scan(carry: VOCarry, frames: jnp.ndarray, n_real: jnp.ndarray,
-               K: jnp.ndarray, cfg: VOConfig):
+               K: jnp.ndarray, cfg: VOConfig, d: jnp.ndarray | None = None):
     """Tracking-phase scan over a chunk of frames [C, H, W]."""
     return _masked_scan(
-        lambda c, f: tracking_step(c, f, K, cfg),
+        lambda c, f: tracking_step(c, f, K, cfg, d=d),
         carry, frames, n_real)
 
 
@@ -333,7 +334,8 @@ def loop_closure_step(carry: VOCarry, K: jnp.ndarray, cfg: VOConfig):
 
 
 def combined_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
-                  cfg: VOConfig, image_shape: tuple[int, int]):
+                  cfg: VOConfig, image_shape: tuple[int, int],
+                  d: jnp.ndarray | None = None):
     """All four modes in one step — the vmap-friendly form for batched
     multi-sequence execution (SURVEY.md section 7 "batch across sequences").
 
@@ -343,7 +345,7 @@ def combined_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
     cheaper tracking-only scan)."""
     was_tracking = carry.mode >= MODE_TRACKING
     c_init, out_init = init_step(carry, frame, K, cfg, image_shape)
-    c_trk, out_trk = tracking_step(carry, frame, K, cfg)
+    c_trk, out_trk = tracking_step(carry, frame, K, cfg, d=d)
     c = _select(was_tracking, c_trk, c_init)
     out = _select(was_tracking, out_trk, out_init)
     return c, out
@@ -352,23 +354,161 @@ def combined_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg", "image_shape"))
 def combined_scan_batched(carry_b: VOCarry, frames_b: jnp.ndarray,
                           n_real: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig,
-                          image_shape: tuple[int, int]):
+                          image_shape: tuple[int, int],
+                          d: jnp.ndarray | None = None):
     """[B]-batched combined-mode scan over [B, C, H, W] frame chunks."""
     def scan1(carry, frames):
         return _masked_scan(
-            lambda c, f: combined_step(c, f, K, cfg, image_shape),
+            lambda c, f: combined_step(c, f, K, cfg, image_shape, d=d),
             carry, frames, n_real)
     return jax.vmap(scan1)(carry_b, frames_b)
 
 
+def _vselect(pred_b: jnp.ndarray, a, b):
+    """Per-lane pytree select: pred_b [B], leaves [B, ...]."""
+    return jax.tree.map(
+        lambda x, y: jnp.where(
+            pred_b.reshape(pred_b.shape + (1,) * (x.ndim - 1)), x, y), a, b)
+
+
+def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
+                           K: jnp.ndarray, cfg: VOConfig,
+                           d: jnp.ndarray | None = None):
+    """One frame across all B lanes — semantics of `tracking_step` per lane.
+
+    The expensive rare stages (keyframe creation = full ORB re-detect +
+    match + triangulate, and relocalization) run under a SCALAR
+    any-lane `lax.cond`: lanes keyframe roughly once per
+    max_tracking_after_keyframe frames, so amortized cost goes from
+    every-frame (a lane-level vmap lowers lane-local conds to selects,
+    making every lane pay ORB every frame — measured 8.0 ms/frame-lane)
+    to ~1/10th of frames."""
+    from ros2_mono_vo_tpu.pipeline.tracker import KeyframeStepResult
+    tcfg, fcfg = cfg.tracker, cfg.frontend
+    frame_b = frame_b.astype(jnp.float32)
+    B = frame_b.shape[0]
+
+    # key splits mirror branch_track: carry.key -> (key, k_frame),
+    # k_frame -> (k_track, k_kf); branch_lost's k_rel == k_frame
+    ks = jax.vmap(jax.random.split)(c_b.key)
+    new_key_b, k_frame_b = ks[:, 0], ks[:, 1]
+    ks2 = jax.vmap(jax.random.split)(k_frame_b)
+    k_track_b, k_kf_b = ks2[:, 0], ks2[:, 1]
+
+    cur_pyr_b = jax.vmap(lambda f: build_lk_pyramid(f, fcfg.lk_levels))(frame_b)
+    res_b = jax.vmap(
+        lambda pyr, cur, obs, m, k, tc: track_step(
+            pyr, cur, obs, m, K, k, tc + 1, tcfg, fcfg, d=d)
+    )(c_b.prev_pyr, cur_pyr_b, c_b.prev_obs, c_b.map, k_track_b,
+      c_b.tracking_count)
+
+    tracking_b = c_b.mode == MODE_TRACKING
+    lost_b = res_b.n_tracked < tcfg.min_tracked_points
+    want_b = tracking_b & res_b.kf_wanted & ~lost_b
+
+    def do_kf(_):
+        return jax.vmap(
+            lambda f, obs, T, m, k: keyframe_step(f, obs, T, m, K, k,
+                                                  tcfg, fcfg)
+        )(frame_b, res_b.obs, res_b.T_wc, c_b.map, k_kf_b)
+
+    def no_kf(_):
+        return KeyframeStepResult(
+            parallax_ok=jnp.zeros((B,), bool), map=c_b.map, obs=res_b.obs,
+            n_new_landmarks=jnp.zeros((B,), jnp.int32))
+
+    kf_b = jax.lax.cond(jnp.any(want_b), do_kf, no_kf, None)
+    kf_added_b = want_b & kf_b.parallax_ok
+
+    mode_trk = jnp.where(lost_b, MODE_LOST, MODE_TRACKING).astype(jnp.int32)
+    c_trk = c_b._replace(
+        mode=mode_trk,
+        key=new_key_b,
+        map=_vselect(kf_added_b, kf_b.map, c_b.map),
+        prev_pyr=_vselect(lost_b, c_b.prev_pyr, cur_pyr_b),
+        prev_obs=_vselect(lost_b, c_b.prev_obs,
+                          _vselect(kf_added_b, kf_b.obs, res_b.obs)),
+        pose_wc=_vselect(lost_b, c_b.pose_wc, res_b.T_wc),
+        tracking_count=jnp.where(
+            kf_added_b, 0, jnp.where(lost_b, c_b.tracking_count,
+                                     c_b.tracking_count + 1)).astype(jnp.int32),
+        tracking_valid=~lost_b,
+    )
+    out_trk = VOStepOut(pose_wc=c_trk.pose_wc, valid=~lost_b, mode=mode_trk,
+                        n_tracked=res_b.n_tracked, kf_added=kf_added_b)
+
+    # ---- LOST lanes (sticky, tracker.cpp:277-279; optional reloc) ----
+    if tcfg.enable_relocalization:
+        from ros2_mono_vo_tpu.pipeline.tracker import relocalize_step
+        any_lost = jnp.any(~tracking_b)
+
+        def do_rel(_):
+            return jax.vmap(
+                lambda f, m, k: relocalize_step(f, m, K, k, tcfg, fcfg, d=d)
+            )(frame_b, c_b.map, k_frame_b)
+
+        def no_rel(_):
+            from ros2_mono_vo_tpu.pipeline.tracker import RelocStepResult
+            return RelocStepResult(
+                success=jnp.zeros((B,), bool),
+                T_wc=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                      (B, 4, 4)),
+                obs=c_b.prev_obs, n_inliers=jnp.zeros((B,), jnp.int32))
+
+        rel_b = jax.lax.cond(any_lost, do_rel, no_rel, None)
+        mode_lost = jnp.where(rel_b.success, MODE_TRACKING,
+                              MODE_LOST).astype(jnp.int32)
+        c_lost = c_b._replace(
+            mode=mode_lost,
+            key=new_key_b,
+            prev_pyr=_vselect(rel_b.success, cur_pyr_b, c_b.prev_pyr),
+            prev_obs=_vselect(rel_b.success, rel_b.obs, c_b.prev_obs),
+            pose_wc=_vselect(rel_b.success, rel_b.T_wc, c_b.pose_wc),
+            tracking_count=jnp.where(rel_b.success, 0,
+                                     c_b.tracking_count).astype(jnp.int32),
+            tracking_valid=rel_b.success,
+        )
+        out_lost = VOStepOut(pose_wc=c_lost.pose_wc, valid=rel_b.success,
+                             mode=mode_lost, n_tracked=rel_b.n_inliers,
+                             kf_added=jnp.zeros((B,), bool))
+    else:
+        c_lost = c_b._replace(tracking_valid=jnp.zeros((B,), bool))
+        out_lost = VOStepOut(pose_wc=c_b.pose_wc, valid=jnp.zeros((B,), bool),
+                             mode=c_b.mode, n_tracked=jnp.zeros((B,), jnp.int32),
+                             kf_added=jnp.zeros((B,), bool))
+
+    c_new = _vselect(tracking_b, c_trk, c_lost)
+    out = _vselect(tracking_b, out_trk, out_lost)
+    return c_new, out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def track_scan_batched(carry_b: VOCarry, frames_b: jnp.ndarray,
-                       n_real: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig):
-    """[B]-batched tracking-phase scan (all lanes in mode >= 2)."""
-    def scan1(carry, frames):
-        return _masked_scan(lambda c, f: tracking_step(c, f, K, cfg),
-                            carry, frames, n_real)
-    return jax.vmap(scan1)(carry_b, frames_b)
+                       n_real: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig,
+                       d: jnp.ndarray | None = None):
+    """[B]-batched tracking-phase scan (all lanes in mode >= 2).
+
+    Scans over FRAMES with a lane-vmapped step (not vmap-of-scan) so the
+    keyframe/reloc stages stay behind scalar conds — see
+    `_batched_tracking_step`."""
+    C = frames_b.shape[1]
+    idx = jnp.arange(C)
+    frames_cb = jnp.swapaxes(frames_b, 0, 1)   # [C, B, H, W]
+
+    def step(c_b, xs):
+        i, frame_b = xs
+
+        def active(c_b):
+            return _batched_tracking_step(c_b, frame_b, K, cfg, d=d)
+
+        def inactive(c_b):
+            return c_b, jax.vmap(_out_invalid)(c_b, c_b.mode)
+
+        return jax.lax.cond(i < n_real, active, inactive, c_b)
+
+    c_b, outs = jax.lax.scan(step, carry_b, (idx, frames_cb))
+    outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)  # [B, C]
+    return c_b, outs
 
 
 class BatchedDeviceMonoVO:
@@ -382,11 +522,12 @@ class BatchedDeviceMonoVO:
     """
 
     def __init__(self, cfg: VOConfig, K, image_shape: tuple[int, int],
-                 batch: int, seed: int = 0, chunk: int = 32):
+                 batch: int, seed: int = 0, chunk: int = 32, d=None):
         import numpy as np
         self.cfg = cfg
         self.batch = batch
         self.K = jnp.asarray(np.asarray(K), jnp.float32)
+        self.d = None if d is None else jnp.asarray(np.asarray(d), jnp.float32)
         self.image_shape = tuple(image_shape)
         self.chunk = chunk
         carries = [init_carry(cfg, self.image_shape, seed + 1000 * b)
@@ -426,14 +567,14 @@ class BatchedDeviceMonoVO:
         if not self._all_tracking:
             self.carry, outs = combined_scan_batched(
                 self.carry, fdev, jnp.int32(n), self.K, self.cfg,
-                self.image_shape)
+                self.image_shape, d=self.d)
             outs = jax.device_get(outs)
             self._record(jax.tree.map(lambda x: x[:, :n], outs), n)
             modes = np.asarray(outs.mode)[:, n - 1]
             self._all_tracking = bool((modes >= MODE_TRACKING).all())
         else:
             self.carry, outs = track_scan_batched(
-                self.carry, fdev, jnp.int32(n), self.K, self.cfg)
+                self.carry, fdev, jnp.int32(n), self.K, self.cfg, d=self.d)
             self._pending.append((self._frame_idx, n, outs))
         self._frame_idx += n
 
@@ -463,10 +604,11 @@ class DeviceMonoVO:
     """
 
     def __init__(self, cfg: VOConfig, K, image_shape: tuple[int, int],
-                 seed: int = 0, chunk: int = 32, sync: bool = True):
+                 seed: int = 0, chunk: int = 32, sync: bool = True, d=None):
         import numpy as np
         self.cfg = cfg
         self.K = jnp.asarray(np.asarray(K), jnp.float32)
+        self.d = None if d is None else jnp.asarray(np.asarray(d), jnp.float32)
         self.image_shape = tuple(image_shape)
         self.chunk = chunk
         self.sync = sync
@@ -528,7 +670,7 @@ class DeviceMonoVO:
                     fdev2 = jnp.asarray(self._pad(rest))
                     self.carry, outs2 = track_scan(
                         self.carry, fdev2, jnp.int32(len(rest)), self.K,
-                        self.cfg)
+                        self.cfg, d=self.d)
                     outs2 = jax.tree.map(lambda x: x[:len(rest)],
                                          jax.device_get(outs2))
                     self._record(outs2, t0)
@@ -540,7 +682,7 @@ class DeviceMonoVO:
         else:
             fdev = jnp.asarray(self._pad(f_np))
             self.carry, outs = track_scan(self.carry, fdev, jnp.int32(n),
-                                          self.K, self.cfg)
+                                          self.K, self.cfg, d=self.d)
             if self.sync:
                 outs = jax.tree.map(lambda x: x[:n], jax.device_get(outs))
                 self._record(outs, 0)

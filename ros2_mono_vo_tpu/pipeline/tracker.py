@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ros2_mono_vo_tpu.config import TrackerConfig, FrontendConfig
+from ros2_mono_vo_tpu.geometry.distortion import undistort_pixels
 from ros2_mono_vo_tpu.geometry.se3 import se3_inverse, rotation_angle
 from ros2_mono_vo_tpu.geometry.triangulation import triangulate_and_filter
 from ros2_mono_vo_tpu.ops.features import Features, detect_and_describe
@@ -66,8 +67,14 @@ class KeyframeStepResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("tcfg", "fcfg"))
 def track_step(prev_pyr, cur_pyr, prev_obs: FrameObs, m: MapState,
                K: jnp.ndarray, key: jax.Array, tracking_count: jnp.ndarray,
-               tcfg: TrackerConfig, fcfg: FrontendConfig) -> TrackStepResult:
-    """Per-frame hot path (reference tracker.cpp:289-319)."""
+               tcfg: TrackerConfig, fcfg: FrontendConfig,
+               d: jnp.ndarray | None = None) -> TrackStepResult:
+    """Per-frame hot path (reference tracker.cpp:289-319).
+
+    `d` ([5] plumb-bob coefficients or None for rectified input) is consumed
+    only by PnP — exactly the reference's use of `d_` (tracker.cpp:309):
+    tracked pixels are undistorted once per frame and PnP runs on ideal
+    pinhole coordinates (geometry/distortion.py)."""
     L = m.lm_valid.shape[0]
     track_valid = prev_obs.valid & (prev_obs.lm_id >= 0)
     flow = lk_track(prev_pyr, cur_pyr, prev_obs.uv, track_valid,
@@ -83,7 +90,8 @@ def track_step(prev_pyr, cur_pyr, prev_obs: FrameObs, m: MapState,
     # (tracker.cpp:309); hypothesis-parallel equivalent = that many minimal
     # sets drawn at once, rounded up to the TPU lane multiple.
     n_hyp = -(-tcfg.pnp_iterations // 128) * 128
-    pnp = solve_pnp_ransac(K, X, flow.uv, pnp_valid, tcfg.pnp_reproj_thresh,
+    uv_pnp = flow.uv if d is None else undistort_pixels(K, flow.uv, d)
+    pnp = solve_pnp_ransac(K, X, uv_pnp, pnp_valid, tcfg.pnp_reproj_thresh,
                            key, num_hypotheses=n_hyp, refine_iters=10)
     T_wc = se3_inverse(pnp.model)
 
@@ -177,7 +185,8 @@ class RelocStepResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("tcfg", "fcfg"))
 def relocalize_step(image: jnp.ndarray, m: MapState, K: jnp.ndarray,
                     key: jax.Array, tcfg: TrackerConfig,
-                    fcfg: FrontendConfig) -> RelocStepResult:
+                    fcfg: FrontendConfig,
+                    d: jnp.ndarray | None = None) -> RelocStepResult:
     """Relocalization attempt from LOST — beyond the reference, whose LOST is
     terminal (tracker.cpp:277-279; README.md:146 lists recovery as roadmap).
 
@@ -190,7 +199,8 @@ def relocalize_step(image: jnp.ndarray, m: MapState, K: jnp.ndarray,
                            m.lm_desc.astype(jnp.float32), m.lm_valid,
                            tcfg.lowes_distance_ratio)
     X = m.lm_xyz[mm.idx]
-    pnp = solve_pnp_ransac(K, X, feats.uv, mm.valid, tcfg.pnp_reproj_thresh,
+    uv_pnp = feats.uv if d is None else undistort_pixels(K, feats.uv, d)
+    pnp = solve_pnp_ransac(K, X, uv_pnp, mm.valid, tcfg.pnp_reproj_thresh,
                            key, num_hypotheses=fcfg.ransac_hypotheses,
                            refine_iters=10)
     success = pnp.count >= tcfg.reloc_min_inliers
@@ -210,9 +220,13 @@ class Tracker:
     numerics live in the jitted steps above.
     """
 
-    def __init__(self, tcfg: TrackerConfig, fcfg: FrontendConfig):
+    def __init__(self, tcfg: TrackerConfig, fcfg: FrontendConfig,
+                 d=None):
         self.tcfg = tcfg
         self.fcfg = fcfg
+        # [5] plumb-bob coefficients, used only by PnP (reference
+        # tracker.cpp:309 passes d_; everywhere else assumes rectified)
+        self.d = None if d is None else jnp.asarray(d, jnp.float32)
         self.state = TrackerState.INITIALIZING
         self.prev_pyr = None
         self.prev_obs: Optional[FrameObs] = None
@@ -237,7 +251,8 @@ class Tracker:
         """Process one frame. Returns (map, T_wc or None, info dict)."""
         if self.state == TrackerState.LOST:
             if self.tcfg.enable_relocalization:
-                rel = relocalize_step(image, m, K, key, self.tcfg, self.fcfg)
+                rel = relocalize_step(image, m, K, key, self.tcfg, self.fcfg,
+                                      d=self.d)
                 if bool(jax.device_get(rel.success)):
                     self.prev_pyr = build_lk_pyramid(image, self.fcfg.lk_levels)
                     self.prev_obs = rel.obs
@@ -256,7 +271,7 @@ class Tracker:
         k_track, k_kf = jax.random.split(key)
         res = track_step(self.prev_pyr, cur_pyr, self.prev_obs, m, K,
                          k_track, jnp.int32(self.tracking_count),
-                         self.tcfg, self.fcfg)
+                         self.tcfg, self.fcfg, d=self.d)
         # one fused device->host fetch for all control scalars (the tunnel
         # to the TPU makes separate fetches expensive)
         n_tracked, n_pnp, kf_wanted = jax.device_get(

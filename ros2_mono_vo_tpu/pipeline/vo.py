@@ -36,13 +36,16 @@ class MonoVO:
     BASE_ROT_COV = 0.01
 
     def __init__(self, cfg: VOConfig, K: np.ndarray,
-                 image_shape: tuple[int, int], seed: int = 0):
+                 image_shape: tuple[int, int], seed: int = 0, d=None):
         self.cfg = cfg
         self.K = jnp.asarray(K, jnp.float32)
+        # distortion coefficients latched like the reference's d_
+        # (mono_vo.cpp:204-207), consumed only by PnP (tracker.cpp:309)
+        self.d = d
         self.image_shape = image_shape
         self.map = empty_map(cfg.frontend)
         self.initializer = Initializer(cfg.initializer, cfg.frontend, image_shape)
-        self.tracker = Tracker(cfg.tracker, cfg.frontend)
+        self.tracker = Tracker(cfg.tracker, cfg.frontend, d=d)
         self._key = jax.random.PRNGKey(seed)
         # pose bookkeeping (mono_vo.hpp:64-71 under pose_mutex_; functional here)
         self.last_pose: Optional[np.ndarray] = None

@@ -68,6 +68,7 @@ def main(argv=None):
         frames_iter = ((float(i), scene.render(T))
                        for i, T in enumerate(poses))
         K = scene.K
+        dist = None
         image_shape = scene.image_shape
         n_frames = n
         gt = [(float(i), T) for i, T in enumerate(poses)]
@@ -77,14 +78,16 @@ def main(argv=None):
         if args.dataset == "kitti":
             kw["sequence"] = args.seq
         ds = open_sequence(args.dataset, args.root, **kw)
-        K = ds.camera_info().K
+        info = ds.camera_info()
+        K = info.K
+        dist = info.distortion
         stamp0, img0 = next(iter(ds))
         image_shape = img0.shape
         n_frames = len(ds)
         frames_iter = iter(ds)
         gt = ds.ground_truth()
 
-    vo = DeviceMonoVO(cfg, K, image_shape, chunk=args.chunk)
+    vo = DeviceMonoVO(cfg, K, image_shape, chunk=args.chunk, d=dist)
     if args.resume:
         from ros2_mono_vo_tpu.utils.checkpoint import load_checkpoint
         vo.carry, extra = load_checkpoint(args.resume, cfg, image_shape)

@@ -64,12 +64,13 @@ def main():
             kf_valid=c.map.kf_valid.at[0].set(True),
             kf_obs_valid=c.map.kf_obs_valid.at[0].set(True),
             last_kf_desc_valid=jnp.ones((N,), bool))
-        uv = jnp.asarray(rng.uniform(30, 300, (N, 2)).astype(np.float32))
-        lm_id = jnp.arange(N, dtype=jnp.int32)
+        nt = min(fcfg.max_track_points, fcfg.max_features)
+        uv = jnp.asarray(rng.uniform(30, 300, (nt, 2)).astype(np.float32))
+        lm_id = jnp.arange(nt, dtype=jnp.int32)
         return c._replace(
             mode=jnp.int32(MODE_TRACKING), map=m,
             prev_obs=FrameObs(uv=uv, lm_id=lm_id,
-                              valid=jnp.ones((N,), bool)))
+                              valid=jnp.ones((nt,), bool)))
 
     c1 = tracking_carry(0)
     out = devtime(lambda c: track_scan(c, frames, jnp.int32(C), K, cfg),
