@@ -377,13 +377,23 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
     """One frame across all B lanes — semantics of `tracking_step` per lane.
 
     The expensive rare stages (keyframe creation = full ORB re-detect +
-    match + triangulate, and relocalization) run under a SCALAR
-    any-lane `lax.cond`: lanes keyframe roughly once per
-    max_tracking_after_keyframe frames, so amortized cost goes from
-    every-frame (a lane-level vmap lowers lane-local conds to selects,
-    making every lane pay ORB every frame — measured 8.0 ms/frame-lane)
-    to ~1/10th of frames."""
-    from ros2_mono_vo_tpu.pipeline.tracker import KeyframeStepResult
+    match + triangulate, and relocalization) are throttled two ways:
+
+    1. A SCALAR any-lane `lax.cond` skips them when no lane needs them
+       (a lane-level vmap would lower lane-local conds to selects, making
+       every lane pay ORB every frame — measured 8.0 ms/frame-lane).
+    2. Keyframe SERVICE CAPACITY: at B lanes each keyframing every ~10
+       frames, P(any lane wants one) -> 1, so the any-lane cond alone
+       still fires the full B-lane keyframe step nearly every frame
+       (measured 3.8 ms/frame-lane at B=16). Instead, at most
+       S = ceil(B/8) lanes are serviced per frame — gathered by lane
+       index, run through an S-lane keyframe step, scattered back.
+       Demand is ~B/10 per frame < S, so the queue stays empty in
+       expectation; an overflowing lane's kf_wanted triggers (obs count,
+       frames-since-KF, motion) persist, so it is serviced on the next
+       frame. This is the one deliberate batched-vs-solo divergence
+       (a keyframe can land a frame or two late under contention);
+       tests/test_batched_vo.py bounds its ATE effect."""
     tcfg, fcfg = cfg.tracker, cfg.frontend
     frame_b = frame_b.astype(jnp.float32)
     B = frame_b.shape[0]
@@ -406,28 +416,42 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
     lost_b = res_b.n_tracked < tcfg.min_tracked_points
     want_b = tracking_b & res_b.kf_wanted & ~lost_b
 
+    S = max(1, -(-B // 8))               # keyframe service capacity/frame
+    sel = jnp.nonzero(want_b, size=S, fill_value=B)[0]   # lanes serviced
+    safe = jnp.minimum(sel, B - 1)                       # clamped for gather
+    g = lambda x: x[safe]
+
     def do_kf(_):
-        return jax.vmap(
+        r = jax.vmap(
             lambda f, obs, T, m, k: keyframe_step(f, obs, T, m, K, k,
                                                   tcfg, fcfg)
-        )(frame_b, res_b.obs, res_b.T_wc, c_b.map, k_kf_b)
+        )(frame_b[safe], jax.tree.map(g, res_b.obs), res_b.T_wc[safe],
+          jax.tree.map(g, c_b.map), k_kf_b[safe])
+        # parallax gate per serviced lane: keep the original map/obs when it
+        # fails (functional map — no rollback needed, just don't scatter it)
+        ok_s = r.parallax_ok
+        m_eff = _vselect(ok_s, r.map, jax.tree.map(g, c_b.map))
+        o_eff = _vselect(ok_s, r.obs, jax.tree.map(g, res_b.obs))
+        return ok_s, m_eff, o_eff
 
     def no_kf(_):
-        return KeyframeStepResult(
-            parallax_ok=jnp.zeros((B,), bool), map=c_b.map, obs=res_b.obs,
-            n_new_landmarks=jnp.zeros((B,), jnp.int32))
+        return (jnp.zeros((S,), bool), jax.tree.map(g, c_b.map),
+                jax.tree.map(g, res_b.obs))
 
-    kf_b = jax.lax.cond(jnp.any(want_b), do_kf, no_kf, None)
-    kf_added_b = want_b & kf_b.parallax_ok
+    ok_s, m_eff, o_eff = jax.lax.cond(jnp.any(want_b), do_kf, no_kf, None)
+    # scatter serviced lanes back ([S] -> [B]; sel==B entries drop)
+    scat = lambda full, part: full.at[sel].set(part, mode="drop")
+    map_b = jax.tree.map(scat, c_b.map, m_eff)
+    obs_kf_b = jax.tree.map(scat, res_b.obs, o_eff)
+    kf_added_b = jnp.zeros((B,), bool).at[sel].set(ok_s, mode="drop") & want_b
 
     mode_trk = jnp.where(lost_b, MODE_LOST, MODE_TRACKING).astype(jnp.int32)
     c_trk = c_b._replace(
         mode=mode_trk,
         key=new_key_b,
-        map=_vselect(kf_added_b, kf_b.map, c_b.map),
+        map=map_b,
         prev_pyr=_vselect(lost_b, c_b.prev_pyr, cur_pyr_b),
-        prev_obs=_vselect(lost_b, c_b.prev_obs,
-                          _vselect(kf_added_b, kf_b.obs, res_b.obs)),
+        prev_obs=_vselect(lost_b, c_b.prev_obs, obs_kf_b),
         pose_wc=_vselect(lost_b, c_b.pose_wc, res_b.T_wc),
         tracking_count=jnp.where(
             kf_added_b, 0, jnp.where(lost_b, c_b.tracking_count,
@@ -580,10 +604,14 @@ class BatchedDeviceMonoVO:
 
     def finalize(self) -> None:
         import numpy as np
+        # async copies first — one tunnel roundtrip for all pending chunks
+        for _, _, outs in self._pending:
+            for leaf in jax.tree.leaves(outs):
+                leaf.copy_to_host_async()
         for offset, n, outs in self._pending:
-            o = jax.device_get(jax.tree.map(lambda x: x[:, :n], outs))
-            valid = np.asarray(o.valid)
-            poses = np.asarray(o.pose_wc)
+            o = jax.device_get(outs)     # full padded arrays: already in flight
+            valid = np.asarray(o.valid)[:, :n]
+            poses = np.asarray(o.pose_wc)[:, :n]
             for b in range(self.batch):
                 for i in range(n):
                     if valid[b, i]:
@@ -697,12 +725,23 @@ class DeviceMonoVO:
         return jax.tree.map(lambda *xs: np.concatenate(xs), *outs_list)
 
     def finalize(self):
-        """Drain deferred chunk outputs into the trajectory (sync=False)."""
+        """Drain deferred chunk outputs into the trajectory (sync=False).
+
+        Issues host copies for ALL pending chunks asynchronously before
+        collecting any of them: over a tunneled device the fetch roundtrip
+        is latency-bound (~150 ms here), so N sequential device_get calls
+        cost N roundtrips while async-then-gather costs ~one."""
         import numpy as np
+        for _, _, outs in self._pending:
+            for leaf in jax.tree.leaves(outs):
+                leaf.copy_to_host_async()
+        for _, info in self._lc_pending:
+            for leaf in jax.tree.leaves(info):
+                leaf.copy_to_host_async()
         for offset, n, outs in self._pending:
-            o = jax.tree.map(lambda x: x[:n], jax.device_get(outs))
-            valid = np.asarray(o.valid)
-            poses = np.asarray(o.pose_wc)
+            o = jax.device_get(outs)     # full padded arrays: already in flight
+            valid = np.asarray(o.valid)[:n]
+            poses = np.asarray(o.pose_wc)[:n]
             for i in range(n):
                 if valid[i]:
                     self.trajectory.append((float(offset + i), poses[i]))

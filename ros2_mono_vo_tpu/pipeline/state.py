@@ -4,8 +4,16 @@ Replaces the reference's pointer-based L2 layer (Map/Frame/KeyFrame/Landmark,
 `map.hpp:13-59`, `frame.hpp:31-59`, `keyframe.hpp:14-51`, `landmark.hpp:7-18`)
 with fixed-capacity device arrays + validity masks (SURVEY.md section 7
 canonical state pytree). Landmark id == slot index (the reference's monotonic
-counters, `keyframe.cpp:6`, `landmark.cpp:5`, map directly onto slots since
-landmarks are never pruned — SURVEY.md quirks).
+counters, `keyframe.cpp:6`, `landmark.cpp:5`, map directly onto slots).
+
+Capacity semantics vs the reference: the reference's maps are unbounded
+(`map.hpp:55-56`, landmarks never pruned). A fixed-capacity device map
+instead RECYCLES slots: when a keyframe falls off the ring, landmarks no
+longer referenced by any ring keyframe (nor by the live tracked-point set)
+become free and are reallocated before fresh slots run out
+(`recycle_landmarks` + the free-slot allocator below), so long sequences
+(KITTI 00 = 4,541 frames) keep allocating instead of silently dropping
+every new landmark once `max_landmarks` fills.
 """
 
 from __future__ import annotations
@@ -34,7 +42,7 @@ class MapState(NamedTuple):
     lm_xyz: jnp.ndarray      # [L, 3] world positions
     lm_desc: jnp.ndarray     # [L, B] int8 in {-1, +1} (representative desc)
     lm_valid: jnp.ndarray    # [L] bool
-    lm_count: jnp.ndarray    # scalar int32 — next landmark id
+    lm_count: jnp.ndarray    # scalar int32 — number of valid landmarks
     # keyframes (ring buffer; only the last KF feeds the front-end, the ring
     # is the BA window)
     kf_pose_wc: jnp.ndarray  # [Kmax, 4, 4]
@@ -79,9 +87,41 @@ def last_kf_slot(m: MapState) -> jnp.ndarray:
     return jnp.clip(m.kf_count - 1, 0, None) % kmax
 
 
+def referenced_landmarks(m: MapState,
+                         protect_ids: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[L] bool — landmark slots referenced by any valid ring keyframe
+    observation, plus any ids in `protect_ids` (e.g. the live tracked-point
+    bank, whose landmarks may outlast their keyframes in the ring)."""
+    L = m.lm_valid.shape[0]
+    ids = jnp.where(m.kf_obs_valid & m.kf_valid[:, None], m.kf_lm_id, -1)
+    flat = ids.reshape(-1)
+    ref = jnp.zeros((L,), bool).at[
+        jnp.where(flat >= 0, flat, L)].set(True, mode="drop")
+    if protect_ids is not None:
+        ref = ref.at[jnp.where(protect_ids >= 0, protect_ids, L)].set(
+            True, mode="drop")
+    return ref
+
+
+def recycle_landmarks(m: MapState,
+                      protect_ids: jnp.ndarray | None = None) -> MapState:
+    """Free landmark slots that nothing references any more (see module
+    docstring — the bounded-map replacement for the reference's unbounded
+    `std::map`, map.hpp:55-56). O(Kmax·N) scatter, run at keyframe rate."""
+    ref = referenced_landmarks(m, protect_ids)
+    lm_valid = m.lm_valid & ref
+    return m._replace(lm_valid=lm_valid,
+                      lm_count=jnp.sum(lm_valid.astype(jnp.int32)))
+
+
 def allocate_landmarks(m: MapState, xyz: jnp.ndarray, desc: jnp.ndarray,
                        want: jnp.ndarray):
-    """Assign new landmark slots for `want` entries (batched allocator).
+    """Assign landmark slots for `want` entries (batched free-slot allocator).
+
+    Slots fill lowest-free-first: on a fresh map that reproduces the
+    reference's monotonic ids exactly; once `recycle_landmarks` has freed
+    slots they are reused, keeping long sequences allocating at full
+    capacity. Entries beyond the free-slot supply get -1 (dropped).
 
     Args:
       xyz: [M, 3] candidate positions.
@@ -92,18 +132,18 @@ def allocate_landmarks(m: MapState, xyz: jnp.ndarray, desc: jnp.ndarray,
     allocated or out of capacity).
     """
     L = m.lm_valid.shape[0]
-    offs = jnp.cumsum(want.astype(jnp.int32)) - 1
-    ids = jnp.where(want, m.lm_count + offs, -1)
-    ids = jnp.where(ids >= L, -1, ids)  # capacity overflow -> dropped
+    M = want.shape[0]
+    free_slots = jnp.nonzero(~m.lm_valid, size=M, fill_value=L)[0]
+    rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+    ids = jnp.where(want, free_slots[jnp.clip(rank, 0, M - 1)], L)
+    ids = jnp.where(ids >= L, -1, ids)  # out of free slots -> dropped
     ok = ids >= 0
     slot = jnp.where(ok, ids, L)  # L = scatter-to-void via mode="drop"
     lm_xyz = m.lm_xyz.at[slot].set(xyz, mode="drop")
     lm_desc = m.lm_desc.at[slot].set(desc.astype(jnp.int8), mode="drop")
     lm_valid = m.lm_valid.at[slot].set(True, mode="drop")
-    new_count = jnp.minimum(m.lm_count + jnp.sum(want.astype(jnp.int32)),
-                            jnp.int32(L))
     return m._replace(lm_xyz=lm_xyz, lm_desc=lm_desc, lm_valid=lm_valid,
-                      lm_count=new_count), ids
+                      lm_count=jnp.sum(lm_valid.astype(jnp.int32))), ids
 
 
 def add_keyframe(m: MapState, pose_wc: jnp.ndarray, uv: jnp.ndarray,

@@ -39,7 +39,7 @@ from ros2_mono_vo_tpu.ops.ransac import solve_pnp_ransac
 from ros2_mono_vo_tpu.pipeline.initializer import check_parallax
 from ros2_mono_vo_tpu.pipeline.state import (
     MapState, FrameObs, add_keyframe, allocate_landmarks, compact_obs,
-    landmark_uv_lookup, last_kf_slot,
+    landmark_uv_lookup, last_kf_slot, recycle_landmarks,
 )
 
 
@@ -153,7 +153,11 @@ def keyframe_step(image: jnp.ndarray, tracked: FrameObs, T_wc: jnp.ndarray,
     kf_lmid = m.kf_lm_id[last]
     reuse = keep & (kf_lmid >= 0)
     new = keep & (kf_lmid < 0)
-    m1, new_ids = allocate_landmarks(m, pts3d, cur_desc, new)
+    # free slots whose landmarks fell off the keyframe ring (the live
+    # tracked bank and the last KF's ids stay protected) so capacity
+    # pressure recycles instead of dropping — see state.recycle_landmarks
+    m0 = recycle_landmarks(m, jnp.where(tracked.valid, tracked.lm_id, -1))
+    m1, new_ids = allocate_landmarks(m0, pts3d, cur_desc, new)
     assigned = jnp.where(reuse, kf_lmid, new_ids)     # -1 where neither
     # backfill new ids into the last keyframe's observations
     kf_lmid_updated = jnp.where(new & (new_ids >= 0), new_ids, kf_lmid)
