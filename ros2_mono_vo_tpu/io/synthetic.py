@@ -92,6 +92,33 @@ class SyntheticScene:
             filled |= hit
         return out
 
+    def raycast(self, T_wc: np.ndarray, uv: np.ndarray):
+        """Exact 3D world point hit by each pixel ray (same plane/band logic
+        as render). uv: [N, 2] (x, y) pixels. Returns (xyz [N, 3], valid [N]).
+
+        Ground-truth oracle for stage-by-stage accuracy diffs: GT optical
+        flow is raycast(T_a, uv) projected into camera b; GT landmark depth
+        is the returned z in camera frame."""
+        R = T_wc[:3, :3].astype(np.float64)
+        t = T_wc[:3, 3].astype(np.float64)
+        pix = np.concatenate([uv, np.ones_like(uv[:, :1])], -1)
+        dirs = (pix @ np.linalg.inv(self.K).T) @ R.T       # [N, 3] world
+        xyz = np.zeros((len(uv), 3))
+        filled = np.zeros(len(uv), bool)
+        for i in np.argsort(self.depths):
+            d, ext = self.depths[i], self.extents[i]
+            dz = dirs[:, 2]
+            lam = (d - t[2]) / np.where(np.abs(dz) < 1e-6, 1e-6, dz)
+            x = t[0] + lam * dirs[:, 0]
+            y = t[1] + lam * dirs[:, 1]
+            inside = (lam > 0.1) & (np.abs(x) < ext) & (np.abs(y) < ext)
+            band = ((np.floor(x / (0.45 * ext)) + np.floor(y / (0.45 * ext)))
+                    .astype(np.int64) % len(self.depths)) == i
+            hit = inside & band & ~filled
+            xyz[hit] = np.stack([x, y, np.full_like(x, d)], -1)[hit]
+            filled |= hit
+        return xyz, filled
+
     def camera_path(self, n_frames: int, step: float = 0.12,
                     lateral: float = 0.02, yaw_rate: float = 0.002) -> list[np.ndarray]:
         """Scripted forward-dominant trajectory (T_wc per frame)."""

@@ -162,11 +162,25 @@ def solve_pnp_dlt(X: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray,
     """DLT pose from >= 6 3D-2D correspondences.
 
     X [N, 3] world points, uv [N, 2] pixels -> (R [3, 3], t [3]) world->cam.
-    Solves for P = K [R|t] then re-orthonormalizes via SVD.
+    Solves for P' = [R|t] T_norm^-1 on similarity-normalized 3D points
+    (zero centroid, unit RMS radius) then re-orthonormalizes via SVD.
+    The normalization is essential in f32: raw world coordinates give
+    cond(A^T A) ~ 1e8+ and eigh-based null vectors turn to noise.
     """
     xy = pixel_to_normalized(K, uv)  # removes K: solve M = [R|t] directly
     x, y = xy[..., 0], xy[..., 1]
-    Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], -1)  # [N, 4]
+    if w is None:
+        wn = jnp.ones(X.shape[:-1], X.dtype)
+    else:
+        wn = w
+    wsum = jnp.clip(jnp.sum(wn, -1, keepdims=True), 1.0, None)
+    centroid = jnp.sum(X * wn[..., None], -2, keepdims=True) / wsum[..., None]
+    Xc = X - centroid
+    rms = jnp.sqrt(jnp.sum(jnp.sum(Xc * Xc, -1) * wn, -1, keepdims=True)
+                   / wsum)
+    s = 1.0 / jnp.clip(rms, 1e-8, None)          # [..., 1]
+    Xn = Xc * s[..., None]
+    Xh = jnp.concatenate([Xn, jnp.ones_like(Xn[..., :1])], -1)  # [N, 4]
     zero = jnp.zeros_like(Xh)
     rows_x = jnp.concatenate([Xh, zero, -x[..., None] * Xh], -1)  # [N, 12]
     rows_y = jnp.concatenate([zero, Xh, -y[..., None] * Xh], -1)
@@ -189,7 +203,10 @@ def solve_pnp_dlt(X: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray,
     detR = jnp.linalg.det(R)
     fix = jnp.ones_like(S).at[..., 2].set(jnp.sign(detR))
     R = (U * fix[..., None, :]) @ Vt
-    t = P[..., 3] / scale[..., None]
+    # undo normalization: x ~ M s(X - c) + p3 = (s M) X + (p3 - s M c); with
+    # M = scale * R this is x ~ R X + t, t = p3/(s*scale) - R c
+    t = (P[..., 3] / (scale[..., None] * s)
+         - jnp.einsum("...ij,...j->...i", R, centroid[..., 0, :]))
     return R, t
 
 
@@ -237,6 +254,15 @@ def _select_best(err: jnp.ndarray, valid: jnp.ndarray, thresh: float):
     return best, inl[best], counts[best]
 
 
+def _msac_score(err: jnp.ndarray, valid: jnp.ndarray, thresh) -> jnp.ndarray:
+    """Truncated-quadratic model score sum(min(err^2, thresh^2)) over valid
+    points — lower is better. Used to pick raw-vs-refined: a strict
+    inlier-count comparison rejects an accurate refined model whenever it
+    sheds a single borderline outlier the loose gate had admitted."""
+    e2 = jnp.minimum(err * err, thresh * thresh)
+    return jnp.sum(jnp.where(valid, e2, 0.0), axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def find_homography_ransac(uv1, uv2, valid, thresh, key,
                            num_hypotheses: int = 512) -> RansacResult:
@@ -248,7 +274,8 @@ def find_homography_ransac(uv1, uv2, valid, thresh, key,
     H_ref = solve_homography_dlt(uv1, uv2, inliers.astype(uv1.dtype))
     err_ref = homography_reproj_error(H_ref, uv1, uv2)
     inl_ref = (err_ref < thresh) & valid
-    better = jnp.sum(inl_ref) >= count
+    better = (_msac_score(err_ref, valid, thresh)
+              <= _msac_score(err[best], valid, thresh))
     H_out = jnp.where(better, H_ref, H[best])
     inl_out = jnp.where(better, inl_ref, inliers)
     return RansacResult(H_out, inl_out, jnp.sum(inl_out))
@@ -265,7 +292,8 @@ def find_fundamental_ransac(uv1, uv2, valid, thresh, key,
     F_ref = solve_fundamental_8pt(uv1, uv2, inliers.astype(uv1.dtype))
     err_ref = sampson_error(F_ref, uv1, uv2)
     inl_ref = (err_ref < thresh) & valid
-    better = jnp.sum(inl_ref) >= count
+    better = (_msac_score(err_ref, valid, thresh)
+              <= _msac_score(err[best], valid, thresh))
     F_out = jnp.where(better, F_ref, F[best])
     inl_out = jnp.where(better, inl_ref, inliers)
     return RansacResult(F_out, inl_out, jnp.sum(inl_out))
@@ -290,7 +318,8 @@ def find_essential_ransac(K, uv1, uv2, valid, thresh_px, key,
     E_ref = solve_essential_8pt(xy1, xy2, inliers.astype(xy1.dtype))
     err_ref = sampson_error(E_ref, xy1, xy2)
     inl_ref = (err_ref < thresh) & valid
-    better = jnp.sum(inl_ref) >= count
+    better = (_msac_score(err_ref, valid, thresh)
+              <= _msac_score(err[best], valid, thresh))
     E_out = jnp.where(better, E_ref, E[best])
     inl_out = jnp.where(better, inl_ref, inliers)
     return RansacResult(E_out, inl_out, jnp.sum(inl_out))
@@ -415,11 +444,32 @@ def solve_pnp_ransac(K, X, uv, valid, reproj_thresh, key,
     err = jax.vmap(lambda R, t: pnp_reprojection_error(R, t, X, uv, K))(R0, t0)
     best, inliers, count = _select_best(err, valid, reproj_thresh)
     R_b, t_b = R0[best], t0[best]
-    w = inliers.astype(X.dtype)
-    R_ref, t_ref = _pnp_gauss_newton(R_b, t_b, X, uv, K, w, refine_iters)
+
+    # Refine-reselect rounds: the best minimal hypothesis is only roughly
+    # right, so its inlier set misses true inliers; a single polish on that
+    # partial set under-converges (measured p90 pose error ~10x OpenCV's).
+    # Re-thresholding between GN rounds walks the support out to the full
+    # inlier set, and Huber IRLS weights (delta = thresh/4) keep borderline
+    # outliers admitted by the loose gate (the reference hardcodes 8 px,
+    # tracker.cpp:309) from dragging the converged pose — with hard 0/1
+    # weights the loop has a measurable attractor that trades pose accuracy
+    # for one extra near-threshold inlier.
+    delta = reproj_thresh / 4.0
+
+    def round_(carry, _):
+        R, t, w = carry
+        R2, t2 = _pnp_gauss_newton(R, t, X, uv, K, w, refine_iters)
+        err2 = pnp_reprojection_error(R2, t2, X, uv, K)
+        mask2 = (err2 < reproj_thresh) & valid
+        w2 = mask2 * jnp.minimum(1.0, delta / jnp.clip(err2, 1e-6, None))
+        return (R2, t2, w2.astype(X.dtype)), None
+
+    (R_ref, t_ref, _), _ = jax.lax.scan(
+        round_, (R_b, t_b, inliers.astype(X.dtype)), None, length=3)
     err_ref = pnp_reprojection_error(R_ref, t_ref, X, uv, K)
     inl_ref = (err_ref < reproj_thresh) & valid
-    better = jnp.sum(inl_ref) >= count
+    better = (_msac_score(err_ref, valid, reproj_thresh)
+              <= _msac_score(err[best], valid, reproj_thresh))
     R_out = jnp.where(better, R_ref, R_b)
     t_out = jnp.where(better, t_ref, t_b)
     inl_out = jnp.where(better, inl_ref, inliers)
