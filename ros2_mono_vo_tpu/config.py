@@ -32,6 +32,10 @@ class InitializerConfig:
     essential_ransac_thresh: float = 1.0
     # <4 triangulated points => reset (initializer.cpp:246-249, 268-272)
     min_triangulated_points: int = 4
+    # Seed-landmark quality gates (see TrackerConfig.tri_*; the seed map
+    # fixes the global monocular scale, so outlier depths here are costly)
+    tri_reproj_thresh: float = 4.0
+    tri_min_parallax_deg: float = 0.35
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +63,12 @@ class TrackerConfig:
     # Off by default to preserve reference parity semantics.
     enable_relocalization: bool = False
     reloc_min_inliers: int = 30
+    # Triangulated-landmark quality gates (beyond the reference, which only
+    # chirality-filters — tracker.cpp:155-161 — but ships the reprojection
+    # metric unused, utils.cpp:245-256). Wrong-match landmarks admitted at
+    # keyframe creation measurably run the monocular map scale away.
+    tri_reproj_thresh: float = 4.0      # px, both views
+    tri_min_parallax_deg: float = 0.35  # min ray angle for a usable depth
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,6 +122,13 @@ class BackendConfig:
     lm_lambda_factor: float = 10.0
     huber_delta: float = 2.0          # pixels, robust loss on reprojection
     max_window_landmarks: int = 8192
+    # In-engine local BA at keyframe cadence (reference roadmap "Local
+    # Bundle Adjustment", README.md:97). Off by default to preserve
+    # reference parity semantics; the bench reports both.
+    enable_local_ba: bool = False
+    ba_window_size: int = 8           # engine-loop window (smaller = faster)
+    ba_iterations: int = 5
+    ba_max_landmarks: int = 4096
     # Loop closure + pose-graph (engine-integrated; reference README.md:97
     # roadmap). Off by default to preserve reference parity semantics.
     enable_loop_closure: bool = False
@@ -123,27 +140,43 @@ class BackendConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class NodeConfig:
+    """Node-level parameters (reference mono_vo.cpp:27-40 declares these
+    directly on the node, outside the initializer/tracker namespaces)."""
+
+    odom_frame_id: str = "odom"
+    odom_child_frame_id: str = "camera"
+    odom_publish_rate: float = 30.0
+    position_covariance_growth_rate: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
 class VOConfig:
     initializer: InitializerConfig = InitializerConfig()
     tracker: TrackerConfig = TrackerConfig()
     frontend: FrontendConfig = FrontendConfig()
     backend: BackendConfig = BackendConfig()
+    node: NodeConfig = NodeConfig()
 
     @staticmethod
     def from_params_yaml(params: Mapping[str, Any]) -> "VOConfig":
         """Build from a dict shaped like the reference's params.yaml
-        (`mono_vo.ros__parameters.{initializer,tracker}.*`)."""
+        (`mono_vo.ros__parameters.{initializer,tracker}.*`; node-level
+        params sit directly under ros__parameters, mono_vo.cpp:27-40)."""
         root = params.get("mono_vo", params)
         root = root.get("ros__parameters", root)
         init_kw = dict(root.get("initializer", {}))
         trk_kw = dict(root.get("tracker", {}))
         init_fields = {f.name for f in dataclasses.fields(InitializerConfig)}
         trk_fields = {f.name for f in dataclasses.fields(TrackerConfig)}
+        node_fields = {f.name for f in dataclasses.fields(NodeConfig)}
         return VOConfig(
             initializer=InitializerConfig(
                 **{k: v for k, v in init_kw.items() if k in init_fields}),
             tracker=TrackerConfig(
                 **{k: v for k, v in trk_kw.items() if k in trk_fields}),
+            node=NodeConfig(
+                **{k: v for k, v in root.items() if k in node_fields}),
         )
 
 

@@ -67,11 +67,54 @@ def chirality_mask(T1_cw: jnp.ndarray, T2_cw: jnp.ndarray,
     return (cam_z(T1_cw, pts) > min_z) & (cam_z(T2_cw, pts) > min_z)
 
 
+def reprojection_error(K: jnp.ndarray, T_cw: jnp.ndarray,
+                       pts_w: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Pixel reprojection error of world points into one view ([..., N]).
+
+    The reference defines exactly this metric (utils.cpp:245-256) but never
+    calls it from the pipeline; here it gates triangulated landmarks."""
+    pc = pts_w @ jnp.swapaxes(T_cw[..., :3, :3], -1, -2) + T_cw[..., None, :3, 3]
+    z = jnp.where(jnp.abs(pc[..., 2]) < 1e-9, 1e-9, pc[..., 2])
+    u = K[0, 0] * pc[..., 0] / z + K[0, 2]
+    v = K[1, 1] * pc[..., 1] / z + K[1, 2]
+    return jnp.hypot(u - uv[..., 0], v - uv[..., 1])
+
+
+def triangulation_quality_mask(K: jnp.ndarray, T1_cw: jnp.ndarray,
+                               T2_cw: jnp.ndarray, pts: jnp.ndarray,
+                               uv1: jnp.ndarray, uv2: jnp.ndarray,
+                               reproj_thresh: float | None,
+                               min_parallax_deg: float | None) -> jnp.ndarray:
+    """[N] bool quality mask for triangulated points (reprojection error in
+    both views + minimum ray parallax). Applied to NEW landmark allocations
+    only — reused landmark ids keep the reference's chirality-only rule
+    (tracker.cpp:212-228), because long-lived landmarks are what anchors the
+    monocular scale; culling their re-observations starves the tracked pool.
+    """
+    keep = jnp.ones(pts.shape[:-1], bool)
+    if reproj_thresh is not None:
+        e1 = reprojection_error(K, T1_cw, pts, uv1)
+        e2 = reprojection_error(K, T2_cw, pts, uv2)
+        keep = keep & (e1 < reproj_thresh) & (e2 < reproj_thresh)
+    if min_parallax_deg is not None:
+        c1 = -jnp.swapaxes(T1_cw[:3, :3], -1, -2) @ T1_cw[:3, 3]
+        c2 = -jnp.swapaxes(T2_cw[:3, :3], -1, -2) @ T2_cw[:3, 3]
+        r1 = pts - c1
+        r2 = pts - c2
+        cosang = jnp.sum(r1 * r2, -1) / jnp.clip(
+            jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1),
+            1e-12, None)
+        keep = keep & (cosang < jnp.cos(jnp.deg2rad(min_parallax_deg)))
+    return keep
+
+
 def triangulate_and_filter(K: jnp.ndarray,
                            T1_cw: jnp.ndarray, T2_cw: jnp.ndarray,
                            uv1: jnp.ndarray, uv2: jnp.ndarray,
                            valid: jnp.ndarray | None = None,
-                           max_depth: float = 1e6):
+                           max_depth: float = 1e6,
+                           reproj_thresh: float | None = None,
+                           min_parallax_deg: float | None = None):
     """Triangulate correspondences and build the keep-mask.
 
     Args:
@@ -79,10 +122,16 @@ def triangulate_and_filter(K: jnp.ndarray,
       T1_cw, T2_cw: [4, 4] world->camera extrinsics of the two views.
       uv1, uv2: [N, 2] pixel correspondences.
       valid: optional [N] bool mask of real (non-padding) correspondences.
+      reproj_thresh: if set, reject points reprojecting worse than this many
+        pixels in EITHER view (kills wrong-match landmarks — measured to be
+        the driver of map-scale runaway in the keyframe-dense regime).
+      min_parallax_deg: if set, reject points whose viewing rays subtend a
+        smaller angle (their depth is noise; one bad deep landmark pulls
+        PnP scale for every later frame).
 
     Returns:
       (pts_w [N, 3], keep [N] bool) — world points; keep = valid & chirality
-      & finite & bounded depth.
+      & finite & bounded depth & quality gates.
     """
     P1 = K @ T1_cw[:3, :4]
     P2 = K @ T2_cw[:3, :4]
@@ -91,6 +140,20 @@ def triangulate_and_filter(K: jnp.ndarray,
     finite = jnp.all(jnp.isfinite(pts), axis=-1)
     bounded = jnp.linalg.norm(pts, axis=-1) < max_depth
     keep = keep & finite & bounded
+    if reproj_thresh is not None:
+        e1 = reprojection_error(K, T1_cw, pts, uv1)
+        e2 = reprojection_error(K, T2_cw, pts, uv2)
+        keep = keep & (e1 < reproj_thresh) & (e2 < reproj_thresh)
+    if min_parallax_deg is not None:
+        c1 = -jnp.swapaxes(T1_cw[:3, :3], -1, -2) @ T1_cw[:3, 3]
+        c2 = -jnp.swapaxes(T2_cw[:3, :3], -1, -2) @ T2_cw[:3, 3]
+        r1 = pts - c1
+        r2 = pts - c2
+        cosang = jnp.sum(r1 * r2, -1) / jnp.clip(
+            jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1),
+            1e-12, None)
+        min_cos = jnp.cos(jnp.deg2rad(min_parallax_deg))
+        keep = keep & (cosang < min_cos)
     if valid is not None:
         keep = keep & valid
     return pts, keep

@@ -274,8 +274,7 @@ def find_homography_ransac(uv1, uv2, valid, thresh, key,
     H_ref = solve_homography_dlt(uv1, uv2, inliers.astype(uv1.dtype))
     err_ref = homography_reproj_error(H_ref, uv1, uv2)
     inl_ref = (err_ref < thresh) & valid
-    better = (_msac_score(err_ref, valid, thresh)
-              <= _msac_score(err[best], valid, thresh))
+    better = jnp.sum(inl_ref) >= count
     H_out = jnp.where(better, H_ref, H[best])
     inl_out = jnp.where(better, inl_ref, inliers)
     return RansacResult(H_out, inl_out, jnp.sum(inl_out))
@@ -292,8 +291,7 @@ def find_fundamental_ransac(uv1, uv2, valid, thresh, key,
     F_ref = solve_fundamental_8pt(uv1, uv2, inliers.astype(uv1.dtype))
     err_ref = sampson_error(F_ref, uv1, uv2)
     inl_ref = (err_ref < thresh) & valid
-    better = (_msac_score(err_ref, valid, thresh)
-              <= _msac_score(err[best], valid, thresh))
+    better = jnp.sum(inl_ref) >= count
     F_out = jnp.where(better, F_ref, F[best])
     inl_out = jnp.where(better, inl_ref, inliers)
     return RansacResult(F_out, inl_out, jnp.sum(inl_out))
@@ -318,8 +316,7 @@ def find_essential_ransac(K, uv1, uv2, valid, thresh_px, key,
     E_ref = solve_essential_8pt(xy1, xy2, inliers.astype(xy1.dtype))
     err_ref = sampson_error(E_ref, xy1, xy2)
     inl_ref = (err_ref < thresh) & valid
-    better = (_msac_score(err_ref, valid, thresh)
-              <= _msac_score(err[best], valid, thresh))
+    better = jnp.sum(inl_ref) >= count
     E_out = jnp.where(better, E_ref, E[best])
     inl_out = jnp.where(better, inl_ref, inliers)
     return RansacResult(E_out, inl_out, jnp.sum(inl_out))

@@ -55,6 +55,24 @@ class VOStepOut(NamedTuple):
     mode: jnp.ndarray          # int32 mode AFTER the frame
     n_tracked: jnp.ndarray     # int32
     kf_added: jnp.ndarray      # bool
+    kf_count: jnp.ndarray      # int32 keyframes ever created (AFTER the frame)
+    lc: "LoopCloseInfo"        # loop-closure outcome for this frame
+    pose_rel_kf: jnp.ndarray   # [4, 4] pose relative to the latest keyframe
+    #   (anchor-relative emission: after a pose-graph correction the host
+    #   re-emits ring_pose[anchor] @ pose_rel_kf, so already-exported
+    #   trajectory poses retro-correct — VERDICT round-2 item #5)
+
+
+def _lc_empty():
+    from ros2_mono_vo_tpu.backend.loop_closure import _empty_info
+    return _empty_info()
+
+
+def _rel_to_kf(m, pose_wc):
+    """Pose expressed relative to the latest keyframe's (current) pose."""
+    from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
+    from ros2_mono_vo_tpu.pipeline.state import last_kf_slot
+    return se3_inverse(m.kf_pose_wc[last_kf_slot(m)]) @ pose_wc
 
 
 def _select(pred, a, b):
@@ -96,7 +114,8 @@ def init_carry(cfg: VOConfig, image_shape: tuple[int, int],
 def _out_invalid(c, mode):
     return VOStepOut(pose_wc=c.pose_wc, valid=jnp.asarray(False),
                      mode=jnp.int32(mode), n_tracked=jnp.int32(0),
-                     kf_added=jnp.asarray(False))
+                     kf_added=jnp.asarray(False), kf_count=c.map.kf_count,
+                     lc=_lc_empty(), pose_rel_kf=_rel_to_kf(c.map, c.pose_wc))
 
 
 def init_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
@@ -132,6 +151,7 @@ def init_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
         att = init_attempt(c.ref, feats, K, k_frame, icfg, fcfg)
         enough = att.n_matches >= icfg.min_matches_for_init
         tri_ok = att.n_triangulated >= icfg.min_triangulated_points
+        geom_ok = att.n_tri_geom >= icfg.min_triangulated_points
         success = (enough & att.parallax_ok & (att.n_pose_inliers >= 4)
                    & tri_ok)
 
@@ -142,10 +162,11 @@ def init_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
         #   success                    -> TRACKING, map seeded, tracker seeded
         #   !enough & dist_ok          -> stay INITIALIZING with new ref
         #   !enough & !dist_ok         -> OBTAINING_REF (reset)
-        #   enough & gates-fail-hard   -> OBTAINING_REF iff triangulation
-        #                                 failed after pose success; else stay
+        #   enough & geometry degenerate after pose success -> OBTAINING_REF
+        #   (quality-gate failure with sound geometry just waits — the
+        #   baseline grows; see host Initializer.try_initializing)
         reset = (~enough & ~dist_ok) | (enough & att.parallax_ok
-                                        & (att.n_pose_inliers >= 4) & ~tri_ok)
+                                        & (att.n_pose_inliers >= 4) & ~geom_ok)
         mode = jnp.where(
             success, MODE_TRACKING,
             jnp.where(reset, MODE_OBTAIN_REF, MODE_INITIALIZING)).astype(jnp.int32)
@@ -170,7 +191,9 @@ def init_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
         )
         return c, VOStepOut(pose_wc=c.pose_wc, valid=success, mode=mode,
                             n_tracked=jnp.int32(0),
-                            kf_added=jnp.asarray(False))
+                            kf_added=jnp.asarray(False),
+                            kf_count=c.map.kf_count, lc=_lc_empty(),
+                            pose_rel_kf=_rel_to_kf(c.map, c.pose_wc))
 
     # ---- modes >= 2: pass through (host hands the rest to track_scan) ----
     def branch_pass(c: VOCarry):
@@ -192,7 +215,10 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
     def branch_track(c: VOCarry):
         key, k_frame = jax.random.split(c.key)
         c = c._replace(key=key)
-        k_track, k_kf = jax.random.split(k_frame)
+        if cfg.backend.enable_loop_closure:
+            k_track, k_kf, k_lc = jax.random.split(k_frame, 3)
+        else:
+            k_track, k_kf = jax.random.split(k_frame)
         cur_pyr = build_lk_pyramid(frame, fcfg.lk_levels)
         res = track_step(c.prev_pyr, cur_pyr, c.prev_obs, c.map, K, k_track,
                          c.tracking_count + 1, tcfg, fcfg, d=d)
@@ -224,8 +250,61 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
                                        c.tracking_count + 1)).astype(jnp.int32),
             tracking_valid=~lost,
         )
+
+        # ---- local BA at keyframe cadence (roadmap README.md:97 "Local
+        # Bundle Adjustment"): window extraction + Schur-complement LM +
+        # scatter-back, all inside the same device step ----
+        if cfg.backend.enable_local_ba:
+            from ros2_mono_vo_tpu.backend.window import (extract_window,
+                                                         apply_window)
+            from ros2_mono_vo_tpu.backend.ba import bundle_adjust
+            from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
+            bacfg = cfg.backend
+
+            def ba_go(c):
+                prob, info = extract_window(
+                    c.map, K, window=bacfg.ba_window_size,
+                    capacity=bacfg.ba_max_landmarks)
+                res = bundle_adjust(prob, iterations=bacfg.ba_iterations,
+                                    huber_delta=bacfg.huber_delta,
+                                    lam0=bacfg.lm_lambda_init,
+                                    lam_factor=bacfg.lm_lambda_factor)
+                m2 = apply_window(c.map, res.T_cw, res.lm_xyz, info)
+                # this frame IS the newest keyframe — its pose rides along
+                pose2 = se3_inverse(res.T_cw[-1])
+                return c._replace(map=m2, pose_wc=pose2)
+
+            c = jax.lax.cond(kf_added, ba_go, lambda c: c, c)
+
+        # ---- loop closure at keyframe cadence (roadmap README.md:97): the
+        # attempt fires in the SAME step that created a keyframe, so cadence
+        # is keyframe-driven regardless of how the host chunks frames ----
+        lc_info = _lc_empty()
+        if cfg.backend.enable_loop_closure:
+            from ros2_mono_vo_tpu.backend.loop_closure import \
+                close_loop_and_correct
+            bcfg = cfg.backend
+
+            def lc_go(c):
+                m2, pose2, info = close_loop_and_correct(
+                    c.map, c.pose_wc, K, k_lc,
+                    min_gap=bcfg.lc_min_gap, sim_thresh=bcfg.lc_sim_thresh,
+                    lowe_ratio=tcfg.lowes_distance_ratio,
+                    reproj_thresh=bcfg.lc_reproj_thresh,
+                    min_inliers=bcfg.lc_min_inliers,
+                    num_hypotheses=fcfg.ransac_hypotheses // 2,
+                    pgo_iterations=bcfg.pgo_iterations)
+                return c._replace(map=m2, pose_wc=pose2), info
+
+            def lc_skip(c):
+                return c, _lc_empty()
+
+            c, lc_info = jax.lax.cond(kf_added, lc_go, lc_skip, c)
+
         return c, VOStepOut(pose_wc=c.pose_wc, valid=~lost, mode=mode,
-                            n_tracked=res.n_tracked, kf_added=kf_added)
+                            n_tracked=res.n_tracked, kf_added=kf_added,
+                            kf_count=c.map.kf_count, lc=lc_info,
+                            pose_rel_kf=_rel_to_kf(c.map, c.pose_wc))
 
     # ---- mode 3: LOST (sticky, tracker.cpp:277-279) — unless
     # relocalization is enabled (static config => the reloc graph is only
@@ -252,7 +331,9 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
         )
         return c, VOStepOut(pose_wc=c.pose_wc, valid=rel.success, mode=mode,
                             n_tracked=rel.n_inliers,
-                            kf_added=jnp.asarray(False))
+                            kf_added=jnp.asarray(False),
+                            kf_count=c.map.kf_count, lc=_lc_empty(),
+                            pose_rel_kf=_rel_to_kf(c.map, c.pose_wc))
 
     return jax.lax.cond(carry.mode == MODE_TRACKING, branch_track,
                         branch_lost, carry)
@@ -399,11 +480,15 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
     B = frame_b.shape[0]
 
     # key splits mirror branch_track: carry.key -> (key, k_frame),
-    # k_frame -> (k_track, k_kf); branch_lost's k_rel == k_frame
+    # k_frame -> (k_track, k_kf[, k_lc]); branch_lost's k_rel == k_frame
     ks = jax.vmap(jax.random.split)(c_b.key)
     new_key_b, k_frame_b = ks[:, 0], ks[:, 1]
-    ks2 = jax.vmap(jax.random.split)(k_frame_b)
-    k_track_b, k_kf_b = ks2[:, 0], ks2[:, 1]
+    if cfg.backend.enable_loop_closure:
+        ks2 = jax.vmap(lambda k: jax.random.split(k, 3))(k_frame_b)
+        k_track_b, k_kf_b, k_lc_b = ks2[:, 0], ks2[:, 1], ks2[:, 2]
+    else:
+        ks2 = jax.vmap(jax.random.split)(k_frame_b)
+        k_track_b, k_kf_b = ks2[:, 0], ks2[:, 1]
 
     cur_pyr_b = jax.vmap(lambda f: build_lk_pyramid(f, fcfg.lk_levels))(frame_b)
     res_b = jax.vmap(
@@ -458,8 +543,98 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
                                      c_b.tracking_count + 1)).astype(jnp.int32),
         tracking_valid=~lost_b,
     )
+
+    # ---- local BA for the lanes that just added a keyframe (same
+    # gather/scatter pattern as keyframe service) ----
+    if cfg.backend.enable_local_ba:
+        from ros2_mono_vo_tpu.backend.window import (extract_window,
+                                                     apply_window)
+        from ros2_mono_vo_tpu.backend.ba import bundle_adjust
+        from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
+        bacfg = cfg.backend
+        kf_added_s = kf_added_b[safe]
+
+        def ba_one(m, pose, fire):
+            def go(_):
+                prob, info = extract_window(
+                    m, K, window=bacfg.ba_window_size,
+                    capacity=bacfg.ba_max_landmarks)
+                res = bundle_adjust(prob, iterations=bacfg.ba_iterations,
+                                    huber_delta=bacfg.huber_delta,
+                                    lam0=bacfg.lm_lambda_init,
+                                    lam_factor=bacfg.lm_lambda_factor)
+                m2 = apply_window(m, res.T_cw, res.lm_xyz, info)
+                return m2, se3_inverse(res.T_cw[-1])
+
+            def skip(_):
+                return m, pose
+
+            return jax.lax.cond(fire, go, skip, None)
+
+        def do_ba(_):
+            return jax.vmap(ba_one)(
+                jax.tree.map(lambda x: x[safe], c_trk.map),
+                c_trk.pose_wc[safe], kf_added_s)
+
+        def no_ba(_):
+            return (jax.tree.map(lambda x: x[safe], c_trk.map),
+                    c_trk.pose_wc[safe])
+
+        m_ba, pose_ba = jax.lax.cond(jnp.any(kf_added_b), do_ba, no_ba, None)
+        c_trk = c_trk._replace(
+            map=jax.tree.map(scat, c_trk.map, m_ba),
+            pose_wc=scat(c_trk.pose_wc, pose_ba))
+
+    # ---- loop closure for the lanes that just added a keyframe: those are
+    # exactly the serviced lanes `sel`, so reuse the gather/scatter pattern
+    # (S-lane LC step behind the same scalar any-lane cond) ----
+    lc_info_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                             _lc_empty())
+    if cfg.backend.enable_loop_closure:
+        from ros2_mono_vo_tpu.backend.loop_closure import \
+            close_loop_and_correct
+        bcfg = cfg.backend
+        kf_added_s = kf_added_b[safe]           # serviced lanes' outcomes
+
+        def lc_one(m, pose, k, fire):
+            def go(_):
+                return close_loop_and_correct(
+                    m, pose, K, k,
+                    min_gap=bcfg.lc_min_gap, sim_thresh=bcfg.lc_sim_thresh,
+                    lowe_ratio=tcfg.lowes_distance_ratio,
+                    reproj_thresh=bcfg.lc_reproj_thresh,
+                    min_inliers=bcfg.lc_min_inliers,
+                    num_hypotheses=fcfg.ransac_hypotheses // 2,
+                    pgo_iterations=bcfg.pgo_iterations)
+
+            def skip(_):
+                return m, pose, _lc_empty()
+
+            return jax.lax.cond(fire, go, skip, None)
+
+        def do_lc(_):
+            return jax.vmap(lc_one)(
+                jax.tree.map(lambda x: x[safe], c_trk.map),
+                c_trk.pose_wc[safe], k_lc_b[safe], kf_added_s)
+
+        def no_lc(_):
+            return (jax.tree.map(lambda x: x[safe], c_trk.map),
+                    c_trk.pose_wc[safe],
+                    jax.tree.map(lambda x: jnp.broadcast_to(x, (S,) + x.shape),
+                                 _lc_empty()))
+
+        m_lc, pose_lc, lc_s = jax.lax.cond(jnp.any(kf_added_b), do_lc,
+                                           no_lc, None)
+        c_trk = c_trk._replace(
+            map=jax.tree.map(scat, c_trk.map, m_lc),
+            pose_wc=scat(c_trk.pose_wc, pose_lc))
+        lc_info_b = jax.tree.map(scat, lc_info_b, lc_s)
+
     out_trk = VOStepOut(pose_wc=c_trk.pose_wc, valid=~lost_b, mode=mode_trk,
-                        n_tracked=res_b.n_tracked, kf_added=kf_added_b)
+                        n_tracked=res_b.n_tracked, kf_added=kf_added_b,
+                        kf_count=c_trk.map.kf_count, lc=lc_info_b,
+                        pose_rel_kf=jax.vmap(_rel_to_kf)(c_trk.map,
+                                                         c_trk.pose_wc))
 
     # ---- LOST lanes (sticky, tracker.cpp:277-279; optional reloc) ----
     if tcfg.enable_relocalization:
@@ -494,12 +669,24 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
         )
         out_lost = VOStepOut(pose_wc=c_lost.pose_wc, valid=rel_b.success,
                              mode=mode_lost, n_tracked=rel_b.n_inliers,
-                             kf_added=jnp.zeros((B,), bool))
+                             kf_added=jnp.zeros((B,), bool),
+                             kf_count=c_b.map.kf_count,
+                             lc=jax.tree.map(
+                                 lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                                 _lc_empty()),
+                             pose_rel_kf=jax.vmap(_rel_to_kf)(
+                                 c_lost.map, c_lost.pose_wc))
     else:
         c_lost = c_b._replace(tracking_valid=jnp.zeros((B,), bool))
         out_lost = VOStepOut(pose_wc=c_b.pose_wc, valid=jnp.zeros((B,), bool),
                              mode=c_b.mode, n_tracked=jnp.zeros((B,), jnp.int32),
-                             kf_added=jnp.zeros((B,), bool))
+                             kf_added=jnp.zeros((B,), bool),
+                             kf_count=c_b.map.kf_count,
+                             lc=jax.tree.map(
+                                 lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                                 _lc_empty()),
+                             pose_rel_kf=jax.vmap(_rel_to_kf)(
+                                 c_b.map, c_b.pose_wc))
 
     c_new = _vselect(tracking_b, c_trk, c_lost)
     out = _vselect(tracking_b, out_trk, out_lost)
@@ -643,10 +830,13 @@ class DeviceMonoVO:
         self.carry = init_carry(cfg, self.image_shape, seed)
         self.trajectory: list = []
         self.loop_closures: list = []   # (frame_idx, LoopCloseInfo-as-dict)
+        # anchor bookkeeping per trajectory entry: (kf_index, T_rel_kf) —
+        # lets finalize() re-emit poses against the CORRECTED keyframe ring
+        # after loop closures (anchor-relative emission)
+        self._traj_anchor: list = []
         self._frame_idx = 0
         self._tracking = False
         self._pending: list = []   # (offset, n, device VOStepOut)
-        self._lc_pending: list = []  # (frame_idx, device LoopCloseInfo)
         # odometry-surface bookkeeping (reference mono_vo.hpp:64-71)
         self._last_pose = None
         self._tracking_valid = False
@@ -656,12 +846,23 @@ class DeviceMonoVO:
         import numpy as np
         valid = np.asarray(outs.valid)
         poses = np.asarray(outs.pose_wc)
+        kfc = np.asarray(outs.kf_count)
+        rel = np.asarray(outs.pose_rel_kf)
+        closed = np.asarray(outs.lc.closed)
         for i in range(len(valid)):
+            stamp = float(self._frame_idx + offset + i)
             if valid[i]:
-                stamp = float(self._frame_idx + offset + i)
                 self.trajectory.append((stamp, poses[i]))
+                self._traj_anchor.append((int(kfc[i]) - 1, rel[i]))
                 self._last_pose = poses[i]
                 self._last_valid_stamp = stamp
+            if closed[i]:
+                self.loop_closures.append((int(stamp), {
+                    "cand_slot": int(np.asarray(outs.lc.cand_slot)[i]),
+                    "score": float(np.asarray(outs.lc.score)[i]),
+                    "n_inliers": int(np.asarray(outs.lc.n_inliers)[i]),
+                    "pg_cost0": float(np.asarray(outs.lc.pg_cost0)[i]),
+                    "pg_cost1": float(np.asarray(outs.lc.pg_cost1)[i])}))
         if len(valid):
             self._tracking_valid = bool(valid[-1])
 
@@ -735,30 +936,49 @@ class DeviceMonoVO:
         for _, _, outs in self._pending:
             for leaf in jax.tree.leaves(outs):
                 leaf.copy_to_host_async()
-        for _, info in self._lc_pending:
-            for leaf in jax.tree.leaves(info):
-                leaf.copy_to_host_async()
         for offset, n, outs in self._pending:
             o = jax.device_get(outs)     # full padded arrays: already in flight
             valid = np.asarray(o.valid)[:n]
             poses = np.asarray(o.pose_wc)[:n]
+            kfc = np.asarray(o.kf_count)[:n]
+            rel = np.asarray(o.pose_rel_kf)[:n]
+            closed = np.asarray(o.lc.closed)[:n]
             for i in range(n):
                 if valid[i]:
                     self.trajectory.append((float(offset + i), poses[i]))
+                    self._traj_anchor.append((int(kfc[i]) - 1, rel[i]))
                     self._last_pose = poses[i]
                     self._last_valid_stamp = float(offset + i)
+                if closed[i]:
+                    self.loop_closures.append((offset + i, {
+                        "cand_slot": int(np.asarray(o.lc.cand_slot)[i]),
+                        "score": float(np.asarray(o.lc.score)[i]),
+                        "n_inliers": int(np.asarray(o.lc.n_inliers)[i]),
+                        "pg_cost0": float(np.asarray(o.lc.pg_cost0)[i]),
+                        "pg_cost1": float(np.asarray(o.lc.pg_cost1)[i])}))
             if n:
                 self._tracking_valid = bool(valid[n - 1])
         self._pending.clear()
-        for fidx, info in self._lc_pending:
-            o = jax.device_get(info)
-            if bool(o.closed):
-                self.loop_closures.append((fidx, {
-                    "cand_slot": int(o.cand_slot), "score": float(o.score),
-                    "n_inliers": int(o.n_inliers),
-                    "pg_cost0": float(o.pg_cost0),
-                    "pg_cost1": float(o.pg_cost1)}))
-        self._lc_pending.clear()
+        if self.loop_closures:
+            self._retro_correct()
+
+    def _retro_correct(self) -> None:
+        """Re-emit the trajectory against the corrected keyframe ring.
+
+        Every recorded pose carries (anchor keyframe index, pose relative to
+        that keyframe at emission time). After pose-graph corrections the
+        ring holds the anchor's CORRECTED pose, so corrected trajectory
+        pose = ring_pose[anchor] @ rel. Anchors that have fallen off the
+        ring keep their emitted pose (reference ring = the PGO window)."""
+        import numpy as np
+        kf_pose, kf_valid, kfc_now = self.keyframe_poses()
+        kmax = kf_pose.shape[0]
+        oldest = max(kfc_now - kmax, 0)
+        for j, (stamp, pose) in enumerate(self.trajectory):
+            a, rel = self._traj_anchor[j]
+            if a < oldest or a < 0 or not kf_valid[a % kmax]:
+                continue
+            self.trajectory[j] = (stamp, kf_pose[a % kmax] @ rel)
 
     def process_chunk(self, frames) -> VOStepOut:
         """frames: [C, H, W] array-like (any C; uint8 preferred — it is the
@@ -769,10 +989,6 @@ class DeviceMonoVO:
             f = f.astype(np.float32)
         pieces = [self._process_fixed(f[i:i + self.chunk])
                   for i in range(0, len(f), self.chunk)]
-        if self.cfg.backend.enable_loop_closure and self._tracking:
-            self.carry, lc_info = loop_closure_step(self.carry, self.K,
-                                                    self.cfg)
-            self._lc_pending.append((self._frame_idx, lc_info))
         if len(pieces) == 1:
             return pieces[0]
         if any(p is None for p in pieces):
@@ -787,8 +1003,9 @@ class DeviceMonoVO:
         "timer" is allowed to sync; the frame path never does)."""
         from ros2_mono_vo_tpu.utils.odometry import odometry_snapshot
         self.finalize()
-        return odometry_snapshot(self._last_pose, self._tracking_valid,
-                                 self._last_valid_stamp, stamp)
+        return odometry_snapshot(
+            self._last_pose, self._tracking_valid, self._last_valid_stamp,
+            stamp, growth_rate=self.cfg.node.position_covariance_growth_rate)
 
     def keyframe_poses(self):
         """Keyframe ring poses + validity (host copies) in ring-slot order —

@@ -44,7 +44,10 @@ class InitAttempt(NamedTuple):
     score_f: jnp.ndarray          # scalar int32 (F inlier count)
     parallax_ok: jnp.ndarray      # scalar bool
     n_pose_inliers: jnp.ndarray   # scalar int32 (E inliers after chirality vote)
-    n_triangulated: jnp.ndarray   # scalar int32
+    n_triangulated: jnp.ndarray   # scalar int32 (after seed-quality gates)
+    n_tri_geom: jnp.ndarray       # scalar int32 (chirality-only — reference
+    #   semantics: RESET keys off this count, initializer.cpp:268-272; the
+    #   stricter quality gates only delay success so the baseline can grow)
     T_cur_wc: jnp.ndarray         # [4, 4] pose of current frame (world = ref cam)
     # per-REF-slot arrays (aligned to the ref frame's feature slots):
     match_idx: jnp.ndarray        # [N] int32 index into cur slots
@@ -107,9 +110,16 @@ def init_attempt(ref: Features, cur: Features, K: jnp.ndarray,
     n_pose_inliers = jnp.sum(pose_inliers)
 
     T_cur_cw = make_se3(R_cw, t_cw)
-    pts3d, keep = triangulate_and_filter(
+    pts3d, keep_geom = triangulate_and_filter(
         K, jnp.eye(4, dtype=K.dtype), T_cur_cw, ref.uv, cur_uv,
         valid=pose_inliers)
+    from ros2_mono_vo_tpu.geometry.triangulation import \
+        triangulation_quality_mask
+    quality = triangulation_quality_mask(
+        K, jnp.eye(4, dtype=K.dtype), T_cur_cw, pts3d, ref.uv, cur_uv,
+        reproj_thresh=icfg.tri_reproj_thresh or None,
+        min_parallax_deg=icfg.tri_min_parallax_deg or None)
+    keep = keep_geom & quality
     n_triangulated = jnp.sum(keep)
 
     return InitAttempt(
@@ -119,6 +129,7 @@ def init_attempt(ref: Features, cur: Features, K: jnp.ndarray,
         parallax_ok=parallax_ok,
         n_pose_inliers=n_pose_inliers,
         n_triangulated=n_triangulated,
+        n_tri_geom=jnp.sum(keep_geom),
         T_cur_wc=se3_inverse(T_cur_cw),
         match_idx=m.idx,
         lm_mask=keep,
@@ -210,8 +221,14 @@ class Initializer:
             return m, None  # skip frame, keep ref (initializer.cpp:220-224)
         if int(att.n_pose_inliers) < 4:
             return m, None  # skip frame (initializer.cpp:246-249)
+        if int(att.n_tri_geom) < self.icfg.min_triangulated_points:
+            self.reset()    # degenerate geometry (initializer.cpp:268-272)
+            return m, None
         if int(att.n_triangulated) < self.icfg.min_triangulated_points:
-            self.reset()    # (initializer.cpp:268-272)
+            # geometry fine, seed quality not yet: keep ref, let the
+            # baseline grow (quality gates are ours, not the reference's —
+            # resetting here would re-latch the ref every 2 frames and the
+            # baseline would never exceed one frame of motion)
             return m, None
 
         m_new, cur_lm_id = seed_map(m, self.ref, feats, att)

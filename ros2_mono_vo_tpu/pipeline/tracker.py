@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from ros2_mono_vo_tpu.config import TrackerConfig, FrontendConfig
 from ros2_mono_vo_tpu.geometry.distortion import undistort_pixels
 from ros2_mono_vo_tpu.geometry.se3 import se3_inverse, rotation_angle
-from ros2_mono_vo_tpu.geometry.triangulation import triangulate_and_filter
+from ros2_mono_vo_tpu.geometry.triangulation import (
+    triangulate_and_filter, triangulation_quality_mask)
 from ros2_mono_vo_tpu.ops.features import Features, detect_and_describe
 from ros2_mono_vo_tpu.ops.lk import lk_track, build_lk_pyramid
 from ros2_mono_vo_tpu.ops.matching import match_descriptors
@@ -148,11 +149,17 @@ def keyframe_step(image: jnp.ndarray, tracked: FrameObs, T_wc: jnp.ndarray,
     pts3d, keep = triangulate_and_filter(
         K, T_kf_cw, T_cur_cw, m.kf_uv[last], cur_uv,
         valid=mm.valid & m.kf_obs_valid[last])
+    quality = triangulation_quality_mask(
+        K, T_kf_cw, T_cur_cw, pts3d, m.kf_uv[last], cur_uv,
+        reproj_thresh=tcfg.tri_reproj_thresh or None,
+        min_parallax_deg=tcfg.tri_min_parallax_deg or None)
 
-    # --- reuse existing landmark ids, allocate for the rest (:212-228) ---
+    # --- reuse existing landmark ids, allocate for the rest (:212-228);
+    # reuse follows the reference's chirality-only rule, NEW allocations
+    # additionally pass the quality gates (see triangulation_quality_mask) ---
     kf_lmid = m.kf_lm_id[last]
     reuse = keep & (kf_lmid >= 0)
-    new = keep & (kf_lmid < 0)
+    new = keep & quality & (kf_lmid < 0)
     # free slots whose landmarks fell off the keyframe ring (the live
     # tracked bank and the last KF's ids stay protected) so capacity
     # pressure recycles instead of dropping — see state.recycle_landmarks

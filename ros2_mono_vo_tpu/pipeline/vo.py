@@ -31,9 +31,9 @@ class MonoVO:
     covariance semantics mirror publish_odom (mono_vo.cpp:167-198).
     """
 
-    # base covariances (reference utils.cpp:129-140 hardcodes these)
-    BASE_POS_COV = 0.01
-    BASE_ROT_COV = 0.01
+    # base covariances (reference utils.cpp:129-134 hardcodes 0.1 / 0.05)
+    BASE_POS_COV = 0.1
+    BASE_ROT_COV = 0.05
 
     def __init__(self, cfg: VOConfig, K: np.ndarray,
                  image_shape: tuple[int, int], seed: int = 0, d=None):
@@ -117,15 +117,12 @@ class MonoVO:
         rot_cov = self.BASE_ROT_COV
         if not self.tracking_valid and self.last_valid_stamp is not None:
             dt = max(stamp - self.last_valid_stamp, 0.0)
-            growth = self.cfg_growth_rate * dt
+            growth = self.cfg.node.position_covariance_growth_rate * dt
             pos_cov += growth
             rot_cov += growth * 0.1
         return {"pose": self.last_pose, "position_covariance": pos_cov,
                 "rotation_covariance": rot_cov,
                 "tracking_valid": self.tracking_valid}
-
-    # position_covariance_growth_rate default (mono_vo.cpp:36-38)
-    cfg_growth_rate: float = 0.1
 
     def landmarks(self) -> np.ndarray:
         """Current map pointcloud (CV axes), valid landmarks only."""

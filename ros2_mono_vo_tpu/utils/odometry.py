@@ -14,9 +14,10 @@ from typing import Optional
 
 import numpy as np
 
-# base covariances (reference utils.cpp:129-140 hardcodes these)
-BASE_POS_COV = 0.01
-BASE_ROT_COV = 0.01
+# base covariances (reference utils.cpp:129-134 hardcodes 0.1 m^2 position,
+# 0.05 rad^2 rotation)
+BASE_POS_COV = 0.1
+BASE_ROT_COV = 0.05
 # position_covariance_growth_rate default (reference mono_vo.cpp:36-38)
 DEFAULT_GROWTH_RATE = 0.1
 
