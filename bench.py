@@ -52,30 +52,33 @@ def _setup_jax_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-IMAGE_SHAPE = (376, 1232)   # KITTI odometry camera 0 scale
+IMAGE_SHAPE = (376, 1241)   # KITTI odometry camera 0 resolution
 N_FEATURES = 1000
 
 
 def make_sequence(n_frames: int, image_shape=IMAGE_SHAPE, seed: int = 0):
-    from ros2_mono_vo_tpu.io.synthetic import SyntheticScene
+    """KITTI-statistics proxy street sequence (io/kitti_proxy.py): ground
+    plane + facades, 1/f photographic-statistics texture, forward driving
+    motion at KITTI-like speed, infinite corridor (no geometry collision) —
+    VERDICT round-2 item #4's realistic-frames requirement."""
+    from ros2_mono_vo_tpu.io.kitti_proxy import KittiProxyScene
 
     rng = np.random.default_rng(seed)
-    scene = SyntheticScene(rng, image_shape=image_shape,
-                          depths=(10.0, 18.0, 32.0),
-                          extents=(9.0, 17.0, 36.0), tex_size=1024)
-    poses = scene.camera_path(n_frames, step=0.12, lateral=0.02)
+    scene = KittiProxyScene(rng, image_shape=image_shape)
+    poses = scene.camera_path(n_frames, speed=0.8, curve=0.0006, sway=0.05)
     frames = [scene.render(T) for T in poses]
     return scene, poses, frames
 
 
-def _vo_config():
+def _vo_config(ba: bool = False):
     from ros2_mono_vo_tpu.config import (VOConfig, FrontendConfig,
-                                         TrackerConfig)
+                                         TrackerConfig, BackendConfig)
     return VOConfig(
         frontend=FrontendConfig(max_features=1024, num_pyramid_levels=8,
                                 ransac_hypotheses=512, max_landmarks=16384,
                                 max_keyframes=32),
-        tracker=TrackerConfig())
+        tracker=TrackerConfig(),
+        backend=BackendConfig(enable_local_ba=ba))
 
 
 def _traj_ate(trajectory, poses):
@@ -88,14 +91,14 @@ def _traj_ate(trajectory, poses):
     return float(ate_rmse(est, gt))
 
 
-def run_ours_single(scene, frames, poses, chunk=25):
+def run_ours_single(scene, frames, poses, chunk=25, ba=False):
     """Single-lane latency-mode engine; returns (fps, ate, n_timed).
 
     fps counts only chunks enqueued after tracking begins (matched to the
     reference loop, which times only its tracking iterations)."""
     from ros2_mono_vo_tpu.pipeline.device_vo import DeviceMonoVO
 
-    cfg = _vo_config()
+    cfg = _vo_config(ba=ba)
     stack = np.clip(np.stack(frames), 0, 255).astype(np.uint8)
     n = len(frames)
 
@@ -313,9 +316,14 @@ def main():
           f"{ref_n} tracked frames, ATE {ate_ref:.3f}", file=sys.stderr)
 
     solo_fps, ate_solo, solo_n = run_ours_single(scene, frames, poses,
-                                                 chunk=args.chunk)
-    print(f"# ours single-lane: {solo_fps:.2f} fps over {solo_n} "
-          f"steady-state frames, ATE {ate_solo:.3f}", file=sys.stderr)
+                                                 chunk=args.chunk, ba=True)
+    print(f"# ours single-lane (local BA on): {solo_fps:.2f} fps over "
+          f"{solo_n} steady-state frames, ATE {ate_solo:.3f}",
+          file=sys.stderr)
+    noba_fps, ate_noba, _ = run_ours_single(scene, frames, poses,
+                                            chunk=args.chunk, ba=False)
+    print(f"# ours single-lane (BA off):     {noba_fps:.2f} fps, "
+          f"ATE {ate_noba:.3f}", file=sys.stderr)
 
     best_fps, best_b, ate_batched = solo_fps, 1, ate_solo
     for b in batches:
@@ -332,13 +340,16 @@ def main():
     bound = max(1.25 * ate_ref, ate_ref + 0.15)
     parity = bool(np.isfinite(ate_batched) and ate_batched <= bound)
     print(json.dumps({
-        "metric": "vo_tracking_fps_per_chip_kitti_sized_synthetic",
+        "metric": "vo_tracking_fps_per_chip_kitti_proxy",
         "value": round(best_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(best_fps / ref_fps, 3) if ref_fps > 0 else None,
         "batch": best_b,
         "single_lane_fps": round(solo_fps, 2),
+        "single_lane_fps_noba": round(noba_fps, 2),
         "ate_ours": round(ate_batched, 4),
+        "ate_solo_ba": round(ate_solo, 4),
+        "ate_solo_noba": round(ate_noba, 4),
         "ate_ref": round(ate_ref, 4),
         "ate_parity": parity,
     }))

@@ -43,6 +43,13 @@ class BAProblem(NamedTuple):
     obs_mask: jnp.ndarray   # [M, N] bool
     K: jnp.ndarray          # [3, 3]
     pose_fixed: jnp.ndarray  # [M] bool — gauge-fixed poses (no update)
+    # Optional [P] bool — landmarks held constant (no update). Sliding-window
+    # BA whose gauge is only the two oldest WINDOW poses lets global scale
+    # drift as the window slides (measured as a linear V-shaped ATE residual);
+    # freezing the landmarks observed by the gauge keyframes anchors the
+    # window to the global map's scale, like the reference's never-updated
+    # landmark store does implicitly.
+    lm_fixed: jnp.ndarray | None = None
 
 
 class BAResult(NamedTuple):
@@ -226,6 +233,11 @@ def lm_loop(prob: BAProblem, iterations: int, huber_delta: float,
         p = prob._replace(T_cw=T_cw, lm_xyz=lm_xyz)
         H_pp, W, H_ll, b_p, b_l, cost = build_normal_equations(
             p, huber_delta, psum_axis)
+        if prob.lm_fixed is not None:
+            freeL = (~prob.lm_fixed).astype(W.dtype)
+            W = W * freeL[None, :, None, None]
+            b_l = b_l * freeL[:, None]
+            H_ll = H_ll * freeL[:, None, None]
         dxi, dX = schur_solve(H_pp, W, H_ll, b_p, b_l, prob.pose_fixed, lam)
         T_new = se3_exp(dxi) @ T_cw
         X_new = lm_xyz + dX
@@ -235,7 +247,9 @@ def lm_loop(prob: BAProblem, iterations: int, huber_delta: float,
         X_out = jnp.where(accept, X_new, lm_xyz)
         lam_out = jnp.where(accept, jnp.maximum(lam / lam_factor, 1e-9),
                             jnp.minimum(lam * lam_factor, 1e6))
-        return (T_out, X_out, lam_out, cost_new), cost
+        # carry the ACCEPTED cost — a rejected proposal must not surface as
+        # the iteration's cost (final_cost would then exceed initial_cost)
+        return (T_out, X_out, lam_out, jnp.where(accept, cost_new, cost)), cost
 
     cost0 = _total_cost(prob, prob.T_cw, prob.lm_xyz, huber_delta, psum_axis)
     (T_cw, lm_xyz, _, cost_final), _ = jax.lax.scan(

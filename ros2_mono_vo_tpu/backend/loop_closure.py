@@ -109,6 +109,11 @@ class LoopCloseInfo(NamedTuple):
 
     closed: jnp.ndarray       # bool — a closure was applied
     cand_slot: jnp.ndarray    # int32 ring slot of the matched keyframe
+    cand_index: jnp.ndarray   # int32 ABSOLUTE keyframe index of the match
+    query_index: jnp.ndarray  # int32 absolute index of the query keyframe
+    in_ring: jnp.ndarray      # bool — candidate was still in the PGO ring
+    T_ab: jnp.ndarray         # [4, 4] measured constraint (cand <- query);
+    #   the host collects these as edges for full-trajectory pose graph
     score: jnp.ndarray        # place-recognition similarity
     n_inliers: jnp.ndarray    # geometric-verification PnP inliers
     pg_cost0: jnp.ndarray     # pose-graph cost before optimization
@@ -118,8 +123,76 @@ class LoopCloseInfo(NamedTuple):
 def _empty_info(dtype=jnp.float32) -> LoopCloseInfo:
     z = jnp.float32(0.0)
     return LoopCloseInfo(closed=jnp.asarray(False),
-                         cand_slot=jnp.int32(-1), score=z,
+                         cand_slot=jnp.int32(-1),
+                         cand_index=jnp.int32(-1),
+                         query_index=jnp.int32(-1),
+                         in_ring=jnp.asarray(False),
+                         T_ab=jnp.eye(4, dtype=jnp.float32),
+                         score=z,
                          n_inliers=jnp.int32(0), pg_cost0=z, pg_cost1=z)
+
+
+def detect_loop_db(m: MapState, min_gap: int = 10,
+                   sim_thresh: float = 0.7,
+                   max_covisible: int | None = None):
+    """Best loop candidate for the LATEST keyframe over the persistent
+    keyframe database (so loops longer than the ring are still found).
+
+    Candidates COVISIBLE with the query (sharing > max_covisible live
+    landmark ids) are excluded from the argmax — they are odometry overlap,
+    not loops, and their saturated similarity would shadow true revisits.
+
+    Returns (db_slot, abs_index, score, ok)."""
+    from ros2_mono_vo_tpu.pipeline.state import kdb_index_of_slot, \
+        last_kf_slot
+    q = m.kdb_summary[(m.kf_count - 1) % m.kdb_valid.shape[0]]
+    sims = m.kdb_summary @ q                            # [KL]
+    idx = kdb_index_of_slot(m)                          # [KL] abs index
+    query_idx = m.kf_count - 1
+    eligible = (idx >= 0) & (idx <= query_idx - min_gap)
+    if max_covisible is not None:
+        L = m.lm_valid.shape[0]
+        query = last_kf_slot(m)
+        q_ids = jnp.where(m.kf_obs_valid[query] & (m.kf_lm_id[query] >= 0),
+                          m.kf_lm_id[query], -1)
+        q_present = jnp.zeros((L,), bool).at[
+            jnp.where(q_ids >= 0, q_ids, L)].set(True, mode="drop")
+        shared = jnp.sum(
+            jnp.where(m.kdb_lm_id >= 0,
+                      q_present[jnp.clip(m.kdb_lm_id, 0, L - 1)], False),
+            axis=1)                                     # [KL]
+        eligible = eligible & (shared <= max_covisible)
+    sims = jnp.where(eligible, sims, -2.0)
+    best = jnp.argmax(sims)
+    return (best.astype(jnp.int32), idx[best], sims[best],
+            sims[best] > sim_thresh)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def verify_loop_db(m: MapState, cand_dbslot: jnp.ndarray, K: jnp.ndarray,
+                   key: jax.Array, lowe_ratio: float = 0.7,
+                   reproj_thresh: float = 4.0, min_inliers: int = 30,
+                   num_hypotheses: int = 256) -> LoopConstraint:
+    """Geometric verification against a database entry: match the LATEST
+    keyframe's descriptors to the candidate's compact observation set and
+    PnP the query against the candidate's FROZEN landmark snapshot.
+
+    The constraint scale is the candidate's local scale at its creation —
+    exactly what a pose-graph edge should carry."""
+    desc_a = m.kdb_desc[cand_dbslot].astype(jnp.float32)   # [C, B]
+    valid_a = m.kdb_obs_valid[cand_dbslot]
+    mm = match_descriptors(desc_a, valid_a, m.last_kf_desc,
+                           m.last_kf_desc_valid, lowe_ratio)
+    X = m.kdb_xyz[cand_dbslot]                             # [C, 3]
+    last = last_kf_slot(m)
+    uv_b = m.kf_uv[last][mm.idx]                           # [C, 2]
+    pnp = solve_pnp_ransac(K, X, uv_b, mm.valid, reproj_thresh, key,
+                           num_hypotheses=num_hypotheses)
+    T_b_wc = se3_inverse(pnp.model)
+    T_a_wc = m.kdb_pose_wc[cand_dbslot]
+    T_ab = se3_inverse(T_a_wc) @ T_b_wc
+    return LoopConstraint(T_ab=T_ab, n_inliers=pnp.count,
+                          ok=pnp.count >= min_inliers)
 
 
 def close_loop_and_correct(m: MapState, pose_wc: jnp.ndarray,
@@ -128,6 +201,8 @@ def close_loop_and_correct(m: MapState, pose_wc: jnp.ndarray,
                            lowe_ratio: float = 0.7,
                            reproj_thresh: float = 4.0,
                            min_inliers: int = 30,
+                           min_inliers_far: int | None = None,
+                           max_covisible: int = 10,
                            num_hypotheses: int = 256,
                            pgo_iterations: int = 15):
     """One full loop-closure attempt against the latest keyframe.
@@ -152,20 +227,72 @@ def close_loop_and_correct(m: MapState, pose_wc: jnp.ndarray,
     kmax = m.kf_valid.shape[0]
     L = m.lm_valid.shape[0]
     query = last_kf_slot(m)
-    cand = detect_loop(m, query, min_gap=min_gap, sim_thresh=sim_thresh)
+    query_idx = m.kf_count - 1
+    # place recognition over the persistent db: loops longer than the ring
+    # are found too (VERDICT round-2 #6)
+    dbslot, cand_idx, cand_score, cand_ok = detect_loop_db(
+        m, min_gap=min_gap, sim_thresh=sim_thresh,
+        max_covisible=max_covisible)
+    in_ring = cand_idx >= m.kf_count - kmax
+    cand_ring_slot = (cand_idx % kmax).astype(jnp.int32)
+    cand = LoopCandidate(slot=cand_ring_slot, score=cand_score, ok=cand_ok)
 
     def no_close(_):
         return m, pose_wc, _empty_info()._replace(
-            cand_slot=cand.slot, score=cand.score)
+            cand_slot=cand.slot, cand_index=cand_idx, query_index=query_idx,
+            in_ring=in_ring, score=cand.score)
 
     def attempt(_):
-        con = verify_loop(m, cand.slot, query, K, key,
-                          lowe_ratio=lowe_ratio,
-                          reproj_thresh=reproj_thresh,
-                          min_inliers=min_inliers,
-                          num_hypotheses=num_hypotheses)
+        con = verify_loop_db(m, dbslot, K, key,
+                             lowe_ratio=lowe_ratio,
+                             reproj_thresh=reproj_thresh,
+                             min_inliers=min_inliers,
+                             num_hypotheses=num_hypotheses)
+        # beyond-ring closures teleport the map rigidly — require stronger
+        # geometric evidence than the PGO-smoothed in-ring path
+        far_bar = (min_inliers if min_inliers_far is None
+                   else min_inliers_far)
+        bar = jnp.where(in_ring, min_inliers, far_bar)
+        con = con._replace(ok=con.n_inliers >= bar)
 
         def do_close(_):
+            return jax.lax.cond(in_ring, close_in_ring, close_beyond_ring,
+                                con)
+
+        def close_beyond_ring(con):
+            # Candidate fell off the PGO ring: apply the measured constraint
+            # as a RIGID correction of the live map (ring poses, landmarks,
+            # current pose, and the db entries newer than the candidate) —
+            # the classic teleport-on-closure; finalize()'s full-trajectory
+            # pose graph smooths it afterwards.
+            from ros2_mono_vo_tpu.pipeline.state import kdb_index_of_slot
+            T_b_target = m.kdb_pose_wc[dbslot] @ con.T_ab
+            T_b_cur = m.kf_pose_wc[query]
+            delta = T_b_target @ se3_inverse(T_b_cur)      # [4, 4]
+            kf_pose = jnp.where(m.kf_valid[:, None, None],
+                                delta[None] @ m.kf_pose_wc, m.kf_pose_wc)
+            X_new = m.lm_xyz @ delta[:3, :3].T + delta[:3, 3]
+            dbidx = kdb_index_of_slot(m)
+            newer = (dbidx > cand_idx)[:, None, None]
+            kdb_pose = jnp.where(newer, delta[None] @ m.kdb_pose_wc,
+                                 m.kdb_pose_wc)
+            kdb_xyz = jnp.where(
+                newer,
+                m.kdb_xyz @ delta[:3, :3].T + delta[:3, 3], m.kdb_xyz)
+            m_new = m._replace(kf_pose_wc=kf_pose, lm_xyz=X_new,
+                               kdb_pose_wc=kdb_pose, kdb_xyz=kdb_xyz)
+            pose_new = delta @ pose_wc
+            info = LoopCloseInfo(closed=jnp.asarray(True),
+                                 cand_slot=cand.slot, cand_index=cand_idx,
+                                 query_index=query_idx,
+                                 in_ring=jnp.asarray(False),
+                                 T_ab=con.T_ab, score=cand.score,
+                                 n_inliers=con.n_inliers,
+                                 pg_cost0=jnp.float32(0.0),
+                                 pg_cost1=jnp.float32(0.0))
+            return m_new, pose_new, info
+
+        def close_in_ring(con):
             # --- ring -> temporally ordered pose-graph nodes ---
             first = jnp.where(m.kf_count > kmax, m.kf_count % kmax, 0)
             order = (first + jnp.arange(kmax)) % kmax
@@ -212,16 +339,38 @@ def close_loop_and_correct(m: MapState, pose_wc: jnp.ndarray,
             # --- current tracking pose moves with the last keyframe ---
             pose_new = delta[q_ord] @ pose_wc
 
-            m_new = m._replace(kf_pose_wc=kf_pose, lm_xyz=X_new)
+            # --- keep the db's ring-member entries in sync with the
+            # corrected ring poses (the db IS the full-trajectory graph
+            # finalize() optimizes — stale ring members would fight it) ---
+            from ros2_mono_vo_tpu.pipeline.state import kdb_index_of_slot
+            KL = m.kdb_valid.shape[0]
+            dbidx = kdb_index_of_slot(m)                 # [KL]
+            ring_member = dbidx >= m.kf_count - kmax
+            # ordered position of ring slot (dbidx % kmax) in `order`
+            pos = ((jnp.clip(dbidx, 0, None) % kmax) - first) % kmax
+            D_db = delta[jnp.clip(pos, 0, kmax - 1)]     # [KL, 4, 4]
+            eye = jnp.broadcast_to(jnp.eye(4, dtype=delta.dtype),
+                                   D_db.shape)
+            D_db = jnp.where(ring_member[:, None, None], D_db, eye)
+            kdb_pose = D_db @ m.kdb_pose_wc
+            kdb_xyz = jnp.einsum("kij,kcj->kci", D_db[:, :3, :3],
+                                 m.kdb_xyz) + D_db[:, None, :3, 3]
+
+            m_new = m._replace(kf_pose_wc=kf_pose, lm_xyz=X_new,
+                               kdb_pose_wc=kdb_pose, kdb_xyz=kdb_xyz)
             info = LoopCloseInfo(closed=jnp.asarray(True),
-                                 cand_slot=cand.slot, score=cand.score,
+                                 cand_slot=cand.slot, cand_index=cand_idx,
+                                 query_index=query_idx,
+                                 in_ring=jnp.asarray(True),
+                                 T_ab=con.T_ab, score=cand.score,
                                  n_inliers=con.n_inliers,
                                  pg_cost0=cost0, pg_cost1=cost1)
             return m_new, pose_new, info
 
         def no(_):
             return m, pose_wc, _empty_info()._replace(
-                cand_slot=cand.slot, score=cand.score,
+                cand_slot=cand.slot, cand_index=cand_idx,
+                query_index=query_idx, in_ring=in_ring, score=cand.score,
                 n_inliers=con.n_inliers)
 
         return jax.lax.cond(con.ok, do_close, no, None)

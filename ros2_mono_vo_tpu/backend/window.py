@@ -64,9 +64,16 @@ def extract_window(m: MapState, K: jnp.ndarray, window: int,
     T_cw = se3_inverse(m.kf_pose_wc[slots])
     pose_fixed = (jnp.arange(window) < 2) | ~kf_mask
 
+    # landmarks observed by a gauge-fixed keyframe are held constant: they
+    # anchor the window to the global map scale (see BAProblem.lm_fixed)
+    fixed_obs = obs_mask & (obs_lm >= 0) & pose_fixed[:, None]
+    lm_fixed = jnp.zeros((capacity,), bool).at[
+        jnp.where(fixed_obs, obs_lm, capacity).reshape(-1)].set(
+        True, mode="drop")
+
     prob = BAProblem(T_cw=T_cw, lm_xyz=lm_xyz, obs_uv=m.kf_uv[slots],
                      obs_lm=obs_lm, obs_mask=obs_mask, K=K,
-                     pose_fixed=pose_fixed)
+                     pose_fixed=pose_fixed, lm_fixed=lm_fixed)
     return prob, WindowInfo(slots=slots, kf_mask=kf_mask,
                             lm_global=lm_global, lm_mask=lm_mask)
 

@@ -105,6 +105,12 @@ class FrontendConfig:
     # Map capacities
     max_landmarks: int = 16384
     max_keyframes: int = 64
+    # Persistent keyframe database (pose + summary descriptor + a compact
+    # observation subset per keyframe) — outlives the ring, so loops longer
+    # than max_keyframes can still be recognized, verified, and closed, and
+    # finalize() can pose-graph the WHOLE trajectory (VERDICT round-2 #6).
+    max_keyframe_log: int = 512
+    kdb_obs: int = 128              # landmark-bearing obs kept per db entry
 
     @property
     def pyramid_scales(self) -> tuple[float, ...]:
@@ -136,6 +142,18 @@ class BackendConfig:
     lc_sim_thresh: float = 0.7        # place-recognition similarity gate
     lc_reproj_thresh: float = 4.0     # PnP verification threshold (px)
     lc_min_inliers: int = 30          # PnP inliers to accept a closure
+    # Beyond-ring closures apply a RIGID teleport (no smoothing PGO until
+    # finalize), so they carry more risk — demand stronger evidence.
+    lc_min_inliers_far: int = 50
+    # A candidate sharing more than this many live landmark ids with the
+    # query is COVISIBLE (normal odometry overlap), not a loop — closing
+    # against it injects a near-identity-but-noisy constraint. True
+    # revisits share ~none (old ids are unrecoverable without reloc).
+    lc_max_covisible: int = 10
+    # Applied closures suppress further attempts for this many keyframes:
+    # place-recognition scores saturate between covisible keyframes, and a
+    # train of slightly-off corrections is worse than none.
+    lc_cooldown_kf: int = 8
     pgo_iterations: int = 15          # pose-graph Gauss-Newton iterations
 
 

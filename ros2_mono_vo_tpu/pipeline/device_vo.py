@@ -292,14 +292,23 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
                     lowe_ratio=tcfg.lowes_distance_ratio,
                     reproj_thresh=bcfg.lc_reproj_thresh,
                     min_inliers=bcfg.lc_min_inliers,
+                    min_inliers_far=bcfg.lc_min_inliers_far,
+                    max_covisible=bcfg.lc_max_covisible,
                     num_hypotheses=fcfg.ransac_hypotheses // 2,
                     pgo_iterations=bcfg.pgo_iterations)
-                return c._replace(map=m2, pose_wc=pose2), info
+                lc_cnt = jnp.where(info.closed, c.map.kf_count, c.lc_count)
+                return c._replace(map=m2, pose_wc=pose2,
+                                  lc_count=lc_cnt.astype(jnp.int32)), info
 
             def lc_skip(c):
                 return c, _lc_empty()
 
-            c, lc_info = jax.lax.cond(kf_added, lc_go, lc_skip, c)
+            # cooldown: an applied closure suppresses further attempts for
+            # lc_cooldown_kf keyframes (covisible keyframes saturate the
+            # place-recognition score; a train of small corrections is
+            # worse than one good one)
+            cool_ok = c.map.kf_count - c.lc_count >= bcfg.lc_cooldown_kf
+            c, lc_info = jax.lax.cond(kf_added & cool_ok, lc_go, lc_skip, c)
 
         return c, VOStepOut(pose_wc=c.pose_wc, valid=~lost, mode=mode,
                             n_tracked=res.n_tracked, kf_added=kf_added,
@@ -604,6 +613,8 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
                     lowe_ratio=tcfg.lowes_distance_ratio,
                     reproj_thresh=bcfg.lc_reproj_thresh,
                     min_inliers=bcfg.lc_min_inliers,
+                    min_inliers_far=bcfg.lc_min_inliers_far,
+                    max_covisible=bcfg.lc_max_covisible,
                     num_hypotheses=fcfg.ransac_hypotheses // 2,
                     pgo_iterations=bcfg.pgo_iterations)
 
@@ -612,10 +623,13 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
 
             return jax.lax.cond(fire, go, skip, None)
 
+        cool_ok_b = c_trk.map.kf_count - c_b.lc_count >= bcfg.lc_cooldown_kf
+        fire_s = kf_added_s & cool_ok_b[safe]
+
         def do_lc(_):
             return jax.vmap(lc_one)(
                 jax.tree.map(lambda x: x[safe], c_trk.map),
-                c_trk.pose_wc[safe], k_lc_b[safe], kf_added_s)
+                c_trk.pose_wc[safe], k_lc_b[safe], fire_s)
 
         def no_lc(_):
             return (jax.tree.map(lambda x: x[safe], c_trk.map),
@@ -629,6 +643,10 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
             map=jax.tree.map(scat, c_trk.map, m_lc),
             pose_wc=scat(c_trk.pose_wc, pose_lc))
         lc_info_b = jax.tree.map(scat, lc_info_b, lc_s)
+        lc_cnt_b = c_b.lc_count.at[sel].set(
+            jnp.where(lc_s.closed, c_trk.map.kf_count[safe], # per-lane count
+                      c_b.lc_count[safe]), mode="drop")
+        c_trk = c_trk._replace(lc_count=lc_cnt_b.astype(jnp.int32))
 
     out_trk = VOStepOut(pose_wc=c_trk.pose_wc, valid=~lost_b, mode=mode_trk,
                         n_tracked=res_b.n_tracked, kf_added=kf_added_b,
@@ -859,6 +877,10 @@ class DeviceMonoVO:
             if closed[i]:
                 self.loop_closures.append((int(stamp), {
                     "cand_slot": int(np.asarray(outs.lc.cand_slot)[i]),
+                    "cand_index": int(np.asarray(outs.lc.cand_index)[i]),
+                    "query_index": int(np.asarray(outs.lc.query_index)[i]),
+                    "in_ring": bool(np.asarray(outs.lc.in_ring)[i]),
+                    "T_ab": np.asarray(outs.lc.T_ab)[i],
                     "score": float(np.asarray(outs.lc.score)[i]),
                     "n_inliers": int(np.asarray(outs.lc.n_inliers)[i]),
                     "pg_cost0": float(np.asarray(outs.lc.pg_cost0)[i]),
@@ -952,6 +974,10 @@ class DeviceMonoVO:
                 if closed[i]:
                     self.loop_closures.append((offset + i, {
                         "cand_slot": int(np.asarray(o.lc.cand_slot)[i]),
+                        "cand_index": int(np.asarray(o.lc.cand_index)[i]),
+                        "query_index": int(np.asarray(o.lc.query_index)[i]),
+                        "in_ring": bool(np.asarray(o.lc.in_ring)[i]),
+                        "T_ab": np.asarray(o.lc.T_ab)[i],
                         "score": float(np.asarray(o.lc.score)[i]),
                         "n_inliers": int(np.asarray(o.lc.n_inliers)[i]),
                         "pg_cost0": float(np.asarray(o.lc.pg_cost0)[i]),
@@ -966,19 +992,23 @@ class DeviceMonoVO:
         """Re-emit the trajectory against the corrected keyframe ring.
 
         Every recorded pose carries (anchor keyframe index, pose relative to
-        that keyframe at emission time). After pose-graph corrections the
-        ring holds the anchor's CORRECTED pose, so corrected trajectory
-        pose = ring_pose[anchor] @ rel. Anchors that have fallen off the
-        ring keep their emitted pose (reference ring = the PGO window)."""
+        that keyframe at emission time). After pose-graph/teleport
+        corrections the keyframe DATABASE holds the anchor's corrected
+        pose, so corrected trajectory pose = kdb_pose[anchor] @ rel.
+        Anchors that have fallen off even the database keep their emitted
+        pose."""
         import numpy as np
-        kf_pose, kf_valid, kfc_now = self.keyframe_poses()
-        kmax = kf_pose.shape[0]
-        oldest = max(kfc_now - kmax, 0)
+        m = self.carry.map
+        kdb_pose = np.asarray(m.kdb_pose_wc)
+        kdb_valid = np.asarray(m.kdb_valid)
+        kfc_now = int(np.asarray(m.kf_count))
+        KL = len(kdb_valid)
+        oldest = max(kfc_now - KL, 0)
         for j, (stamp, pose) in enumerate(self.trajectory):
             a, rel = self._traj_anchor[j]
-            if a < oldest or a < 0 or not kf_valid[a % kmax]:
+            if a < oldest or a < 0 or not kdb_valid[a % KL]:
                 continue
-            self.trajectory[j] = (stamp, kf_pose[a % kmax] @ rel)
+            self.trajectory[j] = (stamp, kdb_pose[a % KL] @ rel)
 
     def process_chunk(self, frames) -> VOStepOut:
         """frames: [C, H, W] array-like (any C; uint8 preferred — it is the
@@ -1014,6 +1044,78 @@ class DeviceMonoVO:
         m = self.carry.map
         return (np.asarray(m.kf_pose_wc), np.asarray(m.kf_valid),
                 int(np.asarray(m.kf_count)))
+
+    def optimize_full_trajectory(self, iterations: int = 30) -> dict | None:
+        """Pose-graph optimization over the ENTIRE keyframe database (not
+        just the ring) using every loop constraint discovered during the
+        run, then re-emission of all trajectory poses against their
+        optimized anchor keyframes.
+
+        This is the full-sequence backend the ring alone cannot provide
+        (ring = sliding PGO window; the db spans max_keyframe_log
+        keyframes). Returns {"cost0", "cost1", "n_nodes", "n_loop_edges"}
+        or None if there is nothing to optimize."""
+        import numpy as np
+        from ros2_mono_vo_tpu.backend.pose_graph import (PoseGraph,
+                                                         graph_cost,
+                                                         optimize_pose_graph)
+        from ros2_mono_vo_tpu.geometry.se3 import se3_inverse as _inv
+        self.finalize()
+        loops = [(info["cand_index"], info["query_index"], info["T_ab"])
+                 for _, info in self.loop_closures if "T_ab" in info]
+        if not loops:
+            return None
+        m = self.carry.map
+        kdb_pose = np.asarray(m.kdb_pose_wc)
+        kdb_valid = np.asarray(m.kdb_valid)
+        kfc = int(np.asarray(m.kf_count))
+        KL = len(kdb_valid)
+        # absolute index per db slot (mirror of state.kdb_index_of_slot)
+        s = np.arange(KL)
+        idx = (kfc - 1) - ((kfc - 1 - s) % KL)
+        idx = np.where(kdb_valid & (idx >= 0), idx, -1)
+        present = np.sort(idx[idx >= 0])
+        if len(present) < 3:
+            return None
+        node_of = {int(a): j for j, a in enumerate(present)}
+        T_nodes = np.stack([kdb_pose[a % KL] for a in present])
+        # odometry backbone from the current (possibly teleport-corrected)
+        # estimates; loop edges re-assert the measured closures
+        ei = list(range(len(present) - 1))
+        ej = [i + 1 for i in ei]
+        T_ij = [np.linalg.inv(T_nodes[i]) @ T_nodes[j]
+                for i, j in zip(ei, ej)]
+        w = [1.0] * len(ei)
+        n_loop = 0
+        for a, b, T_ab in loops:
+            if a in node_of and b in node_of:
+                ei.append(node_of[a])
+                ej.append(node_of[b])
+                T_ij.append(np.asarray(T_ab, np.float32))
+                w.append(1.0)
+                n_loop += 1
+        if n_loop == 0:
+            return None
+        K = len(present)
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        g = PoseGraph(
+            T_w=jnp.asarray(T_nodes, jnp.float32),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            T_ij=jnp.asarray(np.stack(T_ij), jnp.float32),
+            edge_weight=jnp.asarray(w, jnp.float32),
+            fixed=jnp.asarray(fixed))
+        cost0 = float(graph_cost(g))
+        T_opt, cost1 = optimize_pose_graph(g, iterations=iterations)
+        T_opt = np.asarray(T_opt)
+        # re-emit every trajectory pose against its optimized anchor
+        for j, (stamp, pose) in enumerate(self.trajectory):
+            a, rel = self._traj_anchor[j]
+            if a in node_of:
+                self.trajectory[j] = (stamp, T_opt[node_of[a]] @ rel)
+        return {"cost0": cost0, "cost1": float(cost1),
+                "n_nodes": K, "n_loop_edges": n_loop}
 
     def run_local_ba(self, iterations: int | None = None) -> None:
         """Sliding-window bundle adjustment over the keyframe ring

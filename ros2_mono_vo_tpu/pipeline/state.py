@@ -59,11 +59,26 @@ class MapState(NamedTuple):
     # match-to-last-keyframe, tracker.cpp:189-191).
     last_kf_desc: jnp.ndarray   # [N, B] float32 {-1, +1}
     last_kf_desc_valid: jnp.ndarray  # [N] bool
+    # persistent keyframe database (slot = kf index % KL): place-recognition
+    # summaries + a compact frozen (uv, xyz, desc) observation subset, so
+    # loops longer than the ring close and finalize() can pose-graph the
+    # whole trajectory. Landmark positions are FROZEN at creation — a loop
+    # constraint needs a self-consistent snapshot, not live (recyclable)
+    # landmark slots.
+    kdb_pose_wc: jnp.ndarray    # [KL, 4, 4]
+    kdb_summary: jnp.ndarray    # [KL, B] f32 L2-normalized mean descriptor
+    kdb_uv: jnp.ndarray         # [KL, C, 2]
+    kdb_lm_id: jnp.ndarray      # [KL, C] int32 landmark ids at creation
+    kdb_xyz: jnp.ndarray        # [KL, C, 3] frozen world positions
+    kdb_desc: jnp.ndarray       # [KL, C, B] int8 {-1, +1}
+    kdb_obs_valid: jnp.ndarray  # [KL, C] bool
+    kdb_valid: jnp.ndarray      # [KL] bool
 
 
 def empty_map(cfg: FrontendConfig) -> MapState:
     L, Kmax, N, B = (cfg.max_landmarks, cfg.max_keyframes,
                      cfg.max_features, cfg.descriptor_bits)
+    KL, C = cfg.max_keyframe_log, cfg.kdb_obs
     return MapState(
         lm_xyz=jnp.zeros((L, 3), jnp.float32),
         lm_desc=jnp.zeros((L, B), jnp.int8),
@@ -78,7 +93,26 @@ def empty_map(cfg: FrontendConfig) -> MapState:
         kf_desc=jnp.zeros((Kmax, N, B), jnp.int8),
         last_kf_desc=jnp.zeros((N, B), jnp.float32),
         last_kf_desc_valid=jnp.zeros((N,), bool),
+        kdb_pose_wc=jnp.tile(jnp.eye(4, dtype=jnp.float32), (KL, 1, 1)),
+        kdb_summary=jnp.zeros((KL, B), jnp.float32),
+        kdb_uv=jnp.zeros((KL, C, 2), jnp.float32),
+        kdb_lm_id=jnp.full((KL, C), -1, jnp.int32),
+        kdb_xyz=jnp.zeros((KL, C, 3), jnp.float32),
+        kdb_desc=jnp.zeros((KL, C, B), jnp.int8),
+        kdb_obs_valid=jnp.zeros((KL, C), bool),
+        kdb_valid=jnp.zeros((KL,), bool),
     )
+
+
+def kdb_index_of_slot(m: MapState) -> jnp.ndarray:
+    """[KL] absolute keyframe index held by each db slot (-1 if none yet).
+
+    Slot s holds the largest index i < kf_count with i % KL == s."""
+    KL = m.kdb_valid.shape[0]
+    s = jnp.arange(KL)
+    last = m.kf_count - 1
+    i = last - ((last - s) % KL)
+    return jnp.where(m.kdb_valid & (i >= 0), i, -1)
 
 
 def last_kf_slot(m: MapState) -> jnp.ndarray:
@@ -149,9 +183,25 @@ def allocate_landmarks(m: MapState, xyz: jnp.ndarray, desc: jnp.ndarray,
 def add_keyframe(m: MapState, pose_wc: jnp.ndarray, uv: jnp.ndarray,
                  lm_id: jnp.ndarray, obs_valid: jnp.ndarray,
                  desc: jnp.ndarray) -> MapState:
-    """Append a keyframe into the ring buffer (reference map.cpp:33-38)."""
+    """Append a keyframe into the ring buffer (reference map.cpp:33-38) and
+    its compact entry into the persistent keyframe database."""
     kmax = m.kf_valid.shape[0]
     slot = m.kf_count % kmax
+
+    # --- db entry: summary + first C landmark-bearing observations with
+    # their CURRENT landmark positions (frozen snapshot) ---
+    KL = m.kdb_valid.shape[0]
+    C = m.kdb_obs_valid.shape[1]
+    L = m.lm_valid.shape[0]
+    dslot = m.kf_count % KL
+    w = obs_valid.astype(jnp.float32)[:, None]
+    ssum = jnp.sum(desc * w, axis=0)
+    summary = ssum / jnp.clip(jnp.linalg.norm(ssum), 1e-6, None)
+    lm_ok = obs_valid & (lm_id >= 0) & m.lm_valid[jnp.clip(lm_id, 0, L - 1)]
+    order = jnp.argsort(jnp.where(lm_ok, 0, 1), stable=True)[:C]
+    sel_ok = lm_ok[order]
+    sel_ids = jnp.clip(lm_id[order], 0, L - 1)
+
     return m._replace(
         kf_pose_wc=m.kf_pose_wc.at[slot].set(pose_wc),
         kf_uv=m.kf_uv.at[slot].set(uv),
@@ -162,6 +212,16 @@ def add_keyframe(m: MapState, pose_wc: jnp.ndarray, uv: jnp.ndarray,
         kf_desc=m.kf_desc.at[slot].set(desc.astype(jnp.int8)),
         last_kf_desc=desc,
         last_kf_desc_valid=obs_valid,
+        kdb_pose_wc=m.kdb_pose_wc.at[dslot].set(pose_wc),
+        kdb_summary=m.kdb_summary.at[dslot].set(summary),
+        kdb_uv=m.kdb_uv.at[dslot].set(uv[order]),
+        kdb_lm_id=m.kdb_lm_id.at[dslot].set(
+            jnp.where(sel_ok, lm_id[order], -1)),
+        kdb_xyz=m.kdb_xyz.at[dslot].set(
+            m.lm_xyz[sel_ids] * sel_ok[:, None]),
+        kdb_desc=m.kdb_desc.at[dslot].set(desc[order].astype(jnp.int8)),
+        kdb_obs_valid=m.kdb_obs_valid.at[dslot].set(sel_ok),
+        kdb_valid=m.kdb_valid.at[dslot].set(True),
     )
 
 
