@@ -152,15 +152,29 @@ def detect_loop_db(m: MapState, min_gap: int = 10,
     eligible = (idx >= 0) & (idx <= query_idx - min_gap)
     if max_covisible is not None:
         L = m.lm_valid.shape[0]
+        kmax = m.kf_valid.shape[0]
         query = last_kf_slot(m)
         q_ids = jnp.where(m.kf_obs_valid[query] & (m.kf_lm_id[query] >= 0),
                           m.kf_lm_id[query], -1)
         q_present = jnp.zeros((L,), bool).at[
             jnp.where(q_ids >= 0, q_ids, L)].set(True, mode="drop")
-        shared = jnp.sum(
+        # shared ids vs the db snapshot (compact, works beyond the ring)
+        shared_db = jnp.sum(
             jnp.where(m.kdb_lm_id >= 0,
                       q_present[jnp.clip(m.kdb_lm_id, 0, L - 1)], False),
             axis=1)                                     # [KL]
+        # and vs the FULL ring observations for candidates still in the
+        # ring (the 128-obs snapshot undercounts sharing with neighbors)
+        ring_ok = m.kf_obs_valid & (m.kf_lm_id >= 0) & m.kf_valid[:, None]
+        shared_ring_kf = jnp.sum(
+            jnp.where(ring_ok, q_present[jnp.clip(m.kf_lm_id, 0, L - 1)],
+                      False), axis=1)                   # [Kmax]
+        in_ring_slot = idx >= m.kf_count - kmax
+        shared = jnp.where(
+            in_ring_slot,
+            jnp.maximum(shared_db,
+                        shared_ring_kf[jnp.clip(idx, 0, None) % kmax]),
+            shared_db)
         eligible = eligible & (shared <= max_covisible)
     sims = jnp.where(eligible, sims, -2.0)
     best = jnp.argmax(sims)

@@ -27,7 +27,8 @@ def long_loop_config(enable_lc: bool) -> VOConfig:
                               max_translation_from_keyframe=0.45),
         backend=BackendConfig(enable_loop_closure=enable_lc,
                               lc_min_gap=8, lc_sim_thresh=0.5,
-                              lc_min_inliers=20, pgo_iterations=15))
+                              lc_min_inliers=30, lc_min_inliers_far=30,
+                              pgo_iterations=15))
 
 
 def _run(cfg, scene, frames, n, chunk=12):

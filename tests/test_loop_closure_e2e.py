@@ -22,7 +22,8 @@ def loop_config(enable_lc: bool) -> VOConfig:
                               max_translation_from_keyframe=0.6),
         backend=BackendConfig(enable_loop_closure=enable_lc,
                               lc_min_gap=5, lc_sim_thresh=0.5,
-                              lc_min_inliers=25, pgo_iterations=15))
+                              lc_min_inliers=40, lc_min_inliers_far=50,
+                              pgo_iterations=15))
 
 
 def test_engine_discovers_loop_closure():
@@ -41,8 +42,11 @@ def test_engine_discovers_loop_closure():
     # the engine found at least one loop closure on its own
     assert len(vo.loop_closures) >= 1, "no closure discovered by the engine"
     fidx, info = vo.loop_closures[0]
-    assert info["n_inliers"] >= 25
-    assert info["pg_cost1"] <= info["pg_cost0"] + 1e-6
+    assert info["n_inliers"] >= 40
+    # in-ring closures run PGO (cost must not increase); beyond-ring ones
+    # apply a rigid correction and report no PGO costs
+    if info["in_ring"]:
+        assert info["pg_cost1"] <= info["pg_cost0"] + 1e-6
 
     # trajectory stays accurate through the correction
     assert len(vo.trajectory) > n // 2
