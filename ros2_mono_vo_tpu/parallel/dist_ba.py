@@ -69,7 +69,8 @@ def distributed_bundle_adjust(prob: BAProblem, mesh: Mesh,
         obs_uv=P(None, OBS_AXIS, None),
         obs_lm=P(None, OBS_AXIS),
         obs_mask=P(None, OBS_AXIS),
-        K=P(), pose_fixed=P())
+        K=P(), pose_fixed=P(),
+        lm_fixed=None if prob.lm_fixed is None else P())
     out_specs = BAResult(T_cw=P(), lm_xyz=P(), initial_cost=P(),
                          final_cost=P(), iterations=P())
 
@@ -96,8 +97,10 @@ def partition_by_landmark(prob: BAProblem, n_shards: int) -> BAProblem:
 
     Landmark slots are never permuted — results map back by truncation.
     """
-    T_cw, lm_xyz, obs_uv, obs_lm, obs_mask, K, pose_fixed = map(
-        np.asarray, prob)
+    T_cw, lm_xyz, obs_uv, obs_lm, obs_mask, K, pose_fixed = (
+        np.asarray(x) for x in (prob.T_cw, prob.lm_xyz, prob.obs_uv,
+                                prob.obs_lm, prob.obs_mask, prob.K,
+                                prob.pose_fixed))
     M, N = obs_lm.shape
     Pn = lm_xyz.shape[0]
     P_pad = -(-Pn // n_shards) * n_shards
@@ -125,10 +128,17 @@ def partition_by_landmark(prob: BAProblem, n_shards: int) -> BAProblem:
             lm_out[m, off:off + k] = obs_lm[m, sel] - d * p_loc  # local ids
             mask_out[m, off:off + k] = True
 
+    lm_fixed_p = None
+    if prob.lm_fixed is not None:
+        lf = np.asarray(prob.lm_fixed)
+        lm_fixed_p = np.zeros((P_pad,), bool)
+        lm_fixed_p[:Pn] = lf
+        lm_fixed_p = jnp.asarray(lm_fixed_p)
     return BAProblem(T_cw=jnp.asarray(T_cw), lm_xyz=jnp.asarray(lm_xyz_p),
                      obs_uv=jnp.asarray(uv_out), obs_lm=jnp.asarray(lm_out),
                      obs_mask=jnp.asarray(mask_out), K=jnp.asarray(K),
-                     pose_fixed=jnp.asarray(pose_fixed))
+                     pose_fixed=jnp.asarray(pose_fixed),
+                     lm_fixed=lm_fixed_p)
 
 
 def _lm_loop_landmark_sharded(p: BAProblem, iterations: int,
@@ -149,6 +159,11 @@ def _lm_loop_landmark_sharded(p: BAProblem, iterations: int,
         # local assembly: H_ll, W, b_l never leave the device
         H_pp_l, W, H_ll, b_p_l, b_l, cost_l = build_normal_equations(
             pl, huber_delta, psum_axis=None)
+        if p.lm_fixed is not None:       # frozen landmarks (see ba.lm_loop)
+            freeL = (~p.lm_fixed).astype(W.dtype)
+            W = W * freeL[None, :, None, None]
+            b_l = b_l * freeL[:, None]
+            H_ll = H_ll * freeL[:, None, None]
         H_pp, b_p, cost = jax.lax.psum((H_pp_l, b_p_l, cost_l), axis)
 
         # damping (H_pp replicated after psum; H_ll local)
@@ -216,7 +231,8 @@ def landmark_sharded_bundle_adjust(prob: BAProblem, mesh: Mesh,
         obs_uv=P(None, axis, None),
         obs_lm=P(None, axis),
         obs_mask=P(None, axis),
-        K=P(), pose_fixed=P())
+        K=P(), pose_fixed=P(),
+        lm_fixed=None if p_part.lm_fixed is None else P(axis))
     out_specs = BAResult(T_cw=P(), lm_xyz=P(axis), initial_cost=P(),
                          final_cost=P(), iterations=P())
 

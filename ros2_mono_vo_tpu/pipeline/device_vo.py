@@ -511,7 +511,13 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
     want_b = tracking_b & res_b.kf_wanted & ~lost_b
 
     S = max(1, -(-B // 8))               # keyframe service capacity/frame
-    sel = jnp.nonzero(want_b, size=S, fill_value=B)[0]   # lanes serviced
+    # Service the most URGENT lanes first (fewest tracked points): under
+    # sustained contention jnp.nonzero's ascending lane order would
+    # systematically starve high-index lanes, which can decay below
+    # min_tracked_points and go LOST while queued (ADVICE round-2 #1).
+    urgency = jnp.where(want_b, res_b.n_tracked, jnp.int32(1 << 30))
+    order_b = jnp.argsort(urgency)[:S]
+    sel = jnp.where(want_b[order_b], order_b, B).astype(jnp.int32)
     safe = jnp.minimum(sel, B - 1)                       # clamped for gather
     g = lambda x: x[safe]
 

@@ -141,7 +141,16 @@ def recycle_landmarks(m: MapState,
                       protect_ids: jnp.ndarray | None = None) -> MapState:
     """Free landmark slots that nothing references any more (see module
     docstring — the bounded-map replacement for the reference's unbounded
-    `std::map`, map.hpp:55-56). O(Kmax·N) scatter, run at keyframe rate."""
+    `std::map`, map.hpp:55-56). O(Kmax·N) scatter, run at keyframe rate.
+
+    PROTECTION-SET INVARIANT (ADVICE round-2 #2): freed slots are re-handed
+    out lowest-first, so landmark ids are NOT stable over time. Every live
+    holder of an lm_id outside the ring keyframes MUST be passed via
+    `protect_ids` (today: the tracked-point bank) or a recycled slot will
+    silently alias a new landmark under the old id. A future consumer that
+    caches lm_ids long-term (e.g. persistent covisibility anchors) must
+    either join the protection set or snapshot positions instead of ids —
+    the keyframe database (kdb_*) does the latter by design."""
     ref = referenced_landmarks(m, protect_ids)
     lm_valid = m.lm_valid & ref
     return m._replace(lm_valid=lm_valid,

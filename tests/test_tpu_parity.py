@@ -51,7 +51,7 @@ class TestPatchDMA:
 
 
 class TestApproxTopK:
-    def test_detection_recall_vs_exact_topk(self, jaxmod, rng):
+    def test_detection_recall_vs_exact_topk(self, jaxmod, rng, monkeypatch):
         """`approx_max_k` trades exactness for speed; the detector only
         needs the corner SET to be stable. Require >=90% of the exact-top-k
         detections to survive, and every survivor to carry the same
@@ -65,13 +65,16 @@ class TestApproxTopK:
         img = jnp.asarray(rng.uniform(0, 255, (240, 320)).astype(np.float32))
         approx = F.detect_and_describe(img, cfg)
 
-        orig = F._topk_scores
-        F._topk_scores = lambda flat, k: jax.lax.top_k(flat, k)
+        # monkeypatch guarantees restoration via the fixture lifecycle
+        # (ADVICE round-2 #3 — a bare attribute swap leaks if the finally
+        # block is ever refactored away)
+        monkeypatch.setattr(F, "_topk_scores",
+                            lambda flat, k: jax.lax.top_k(flat, k))
         jax.clear_caches()           # force retrace through the exact fork
         try:
             exact = F.detect_and_describe(img, cfg)
         finally:
-            F._topk_scores = orig
+            monkeypatch.undo()
             jax.clear_caches()
 
         uv_a = {tuple(p) for p in np.asarray(approx.uv[approx.valid]).round(2).tolist()}
