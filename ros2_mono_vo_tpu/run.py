@@ -23,7 +23,8 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--dataset", choices=["kitti", "tum", "euroc", "synthetic"],
+    ap.add_argument("--dataset",
+                    choices=["kitti", "tum", "euroc", "synthetic", "proxy"],
                     default="synthetic")
     ap.add_argument("--root", default=None, help="dataset root directory")
     ap.add_argument("--seq", default="00", help="KITTI sequence id")
@@ -38,6 +39,11 @@ def main(argv=None):
                     help="YAML params file (reference config/params.yaml format)")
     ap.add_argument("--checkpoint", default=None, help="save state here at end")
     ap.add_argument("--resume", default=None, help="restore state from here")
+    ap.add_argument("--viz", type=int, default=0, metavar="PORT",
+                    help="serve a live top-down view on this port (the "
+                         "rviz-profile analog; 0 = off)")
+    ap.add_argument("--viz-out", default=None,
+                    help="write a final top-down snapshot (png/svg) here")
     args = ap.parse_args(argv)
 
     import jax
@@ -59,10 +65,14 @@ def main(argv=None):
 
     # --- open the sequence ---
     gt = None
-    if args.dataset == "synthetic":
-        from ros2_mono_vo_tpu.io.synthetic import SyntheticScene
-        scene = SyntheticScene(np.random.default_rng(0),
-                               image_shape=(376, 1232))
+    if args.dataset in ("synthetic", "proxy"):
+        if args.dataset == "proxy":
+            from ros2_mono_vo_tpu.io.kitti_proxy import KittiProxyScene
+            scene = KittiProxyScene(np.random.default_rng(0))
+        else:
+            from ros2_mono_vo_tpu.io.synthetic import SyntheticScene
+            scene = SyntheticScene(np.random.default_rng(0),
+                                   image_shape=(376, 1232))
         n = args.frames or 100
         poses = scene.camera_path(n)
         frames_iter = ((float(i), scene.render(T))
@@ -93,6 +103,19 @@ def main(argv=None):
         vo.carry, extra = load_checkpoint(args.resume, cfg, image_shape)
         vo._tracking = bool(np.asarray(vo.carry.mode) >= 2)
         log.info("resumed from %s (extra=%s)", args.resume, extra)
+
+    viz = None
+    if args.viz:
+        from ros2_mono_vo_tpu.utils.viz import VizServer
+
+        def _viz_state():
+            lm = np.asarray(vo.carry.map.lm_xyz)
+            lv = np.asarray(vo.carry.map.lm_valid)
+            return list(vo.trajectory), lm[lv]
+
+        viz = VizServer(_viz_state, port=args.viz)
+        viz.start()
+        log.info("live viz at http://127.0.0.1:%d", args.viz)
 
     metrics = MetricsCollector()
     stamps: list[float] = []
@@ -142,6 +165,15 @@ def main(argv=None):
         from ros2_mono_vo_tpu.utils.checkpoint import save_checkpoint
         save_checkpoint(args.checkpoint, vo.carry, cfg, image_shape,
                         extra={"n_frames": n_frames})
+
+    if args.viz_out:
+        from ros2_mono_vo_tpu.utils.viz import render_topdown
+        lm = np.asarray(vo.carry.map.lm_xyz)
+        lv = np.asarray(vo.carry.map.lm_valid)
+        render_topdown(traj, lm[lv], path=args.viz_out)
+        log.info("snapshot written to %s", args.viz_out)
+    if viz is not None:
+        viz.stop()
 
     print(json.dumps(summary, indent=2))
     return 0
