@@ -133,7 +133,7 @@ def run_ours_batched(scene, frames, poses, batch: int, chunk=25):
     reference side)."""
     from ros2_mono_vo_tpu.pipeline.device_vo import BatchedDeviceMonoVO
 
-    cfg = _vo_config()
+    cfg = _vo_config(ba=True)
     stack = np.clip(np.stack(frames), 0, 255).astype(np.uint8)
     stack_b = np.broadcast_to(stack, (batch,) + stack.shape)
     n = len(frames)

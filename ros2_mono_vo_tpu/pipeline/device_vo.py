@@ -46,7 +46,8 @@ class VOCarry(NamedTuple):
     pose_wc: jnp.ndarray       # last pose (identity until initialized)
     tracking_count: jnp.ndarray
     tracking_valid: jnp.ndarray  # scalar bool
-    lc_count: jnp.ndarray      # kf_count at the last loop-closure check
+    lc_count: jnp.ndarray      # kf_count when a closure was last APPLIED
+    #   (cooldown reference — BackendConfig.lc_cooldown_kf)
 
 
 class VOStepOut(NamedTuple):
@@ -388,39 +389,6 @@ def track_scan(carry: VOCarry, frames: jnp.ndarray, n_real: jnp.ndarray,
     return _masked_scan(
         lambda c, f: tracking_step(c, f, K, cfg, d=d),
         carry, frames, n_real)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def loop_closure_step(carry: VOCarry, K: jnp.ndarray, cfg: VOConfig):
-    """Device-side loop-closure attempt against the latest keyframe
-    (detect -> verify -> pose graph -> map + pose correction; see
-    backend/loop_closure.close_loop_and_correct). Fires only when a keyframe
-    was added since the last check — otherwise the `lax.cond` skips all the
-    expensive branches. One dispatch, no host fetch required."""
-    from ros2_mono_vo_tpu.backend.loop_closure import (close_loop_and_correct,
-                                                       _empty_info)
-    bcfg, tcfg, fcfg = cfg.backend, cfg.tracker, cfg.frontend
-    key, k_lc = jax.random.split(carry.key)
-    fire = (carry.map.kf_count > carry.lc_count) \
-        & (carry.mode == MODE_TRACKING)
-
-    def go(_):
-        return close_loop_and_correct(
-            carry.map, carry.pose_wc, K, k_lc,
-            min_gap=bcfg.lc_min_gap, sim_thresh=bcfg.lc_sim_thresh,
-            lowe_ratio=tcfg.lowes_distance_ratio,
-            reproj_thresh=bcfg.lc_reproj_thresh,
-            min_inliers=bcfg.lc_min_inliers,
-            num_hypotheses=fcfg.ransac_hypotheses // 2,
-            pgo_iterations=bcfg.pgo_iterations)
-
-    def skip(_):
-        return carry.map, carry.pose_wc, _empty_info()
-
-    m, pose, info = jax.lax.cond(fire, go, skip, None)
-    carry = carry._replace(map=m, pose_wc=pose, key=key,
-                           lc_count=carry.map.kf_count)
-    return carry, info
 
 
 def combined_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,

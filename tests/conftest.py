@@ -19,6 +19,15 @@ if not os.environ.get("VO_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: CPU compiles dominate suite wallclock; a
+# warm cache cuts full-suite reruns by minutes.
+import jax as _jax
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_jax.config.update("jax_compilation_cache_dir",
+                   os.path.join(_repo, ".jax_cache_cpu"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
