@@ -32,14 +32,20 @@ from jax.experimental.pallas import tpu as pltpu
 _PTS = 8
 
 
-def _kernel_dma(origins_ref, img_ref, out_ref, sems, *, ph: int, pw: int):
+def _kernel_dma_b(origins_ref, img_ref, out_ref, sems, *, ph: int, pw: int):
+    """origins_ref: [3, n_pad] int32 in SMEM, rows = (image idx, y0, x0).
+
+    Transposed layout is load-bearing: SMEM prefetch operands pad the MINOR
+    dimension to 128, so [n, 3] would allocate n x 128 words (2 MiB at
+    n=4096 — over the 1 MiB SMEM budget) while [3, n] stays at 3 x n."""
     i = pl.program_id(0)
     copies = []
     for j in range(_PTS):
-        y0 = pl.multiple_of(origins_ref[i * _PTS + j, 0], 8)
-        x0 = pl.multiple_of(origins_ref[i * _PTS + j, 1], 128)
+        b = origins_ref[0, i * _PTS + j]
+        y0 = pl.multiple_of(origins_ref[1, i * _PTS + j], 8)
+        x0 = pl.multiple_of(origins_ref[2, i * _PTS + j], 128)
         cp = pltpu.make_async_copy(
-            img_ref.at[pl.ds(y0, ph), pl.ds(x0, pw)], out_ref.at[j],
+            img_ref.at[b, pl.ds(y0, ph), pl.ds(x0, pw)], out_ref.at[j],
             sems.at[j])
         cp.start()
         copies.append(cp)
@@ -48,11 +54,21 @@ def _kernel_dma(origins_ref, img_ref, out_ref, sems, *, ph: int, pw: int):
 
 
 @functools.partial(jax.jit, static_argnames=("ph", "pw"))
-def _extract_pallas(image: jnp.ndarray, origins: jnp.ndarray, ph: int,
-                    pw: int) -> jnp.ndarray:
-    n = origins.shape[0]
-    n_pad = -(-n // _PTS) * _PTS
-    origins = jnp.pad(origins, ((0, n_pad - n), (0, 0)))
+def _extract_pallas_batched(images: jnp.ndarray, origins: jnp.ndarray,
+                            ph: int, pw: int) -> jnp.ndarray:
+    """images [B, H, W], origins [B, N, 2] -> [B, N, ph, pw].
+
+    One flat grid over all B*N patches; each DMA reads from its own image
+    via a scalar-prefetched image index. This is THE batched form — a vmap
+    of a single-image pallas_call lowers to something ~5000x slower
+    (measured 452 ms vs 0.09 ms at B=8, N=512, 56x256 patches)."""
+    B, n = origins.shape[:2]
+    bidx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None, None], (B, n, 1))
+    borg = jnp.concatenate([bidx, origins], -1).reshape(B * n, 3)
+    total = B * n
+    n_pad = -(-total // _PTS) * _PTS
+    borg = jnp.pad(borg, ((0, n_pad - total), (0, 0))).T   # [3, n_pad]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // _PTS,),
@@ -62,11 +78,11 @@ def _extract_pallas(image: jnp.ndarray, origins: jnp.ndarray, ph: int,
         scratch_shapes=[pltpu.SemaphoreType.DMA((_PTS,))],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_dma, ph=ph, pw=pw),
+        functools.partial(_kernel_dma_b, ph=ph, pw=pw),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, ph, pw), image.dtype),
-    )(origins, image)
-    return out[:n]
+        out_shape=jax.ShapeDtypeStruct((n_pad, ph, pw), images.dtype),
+    )(borg, images)
+    return out[:total].reshape(B, n, ph, pw)
 
 
 @functools.partial(jax.jit, static_argnames=("ph", "pw"))
@@ -77,6 +93,35 @@ def _extract_xla(image: jnp.ndarray, origins: jnp.ndarray, ph: int,
     )(origins)
 
 
+@functools.lru_cache(maxsize=None)
+def _extractor(ph: int, pw: int):
+    """Shape-specialized extractor with a custom vmap rule: batching maps
+    onto the flat batched kernel instead of vmapping the pallas_call."""
+
+    @jax.custom_batching.custom_vmap
+    def ex(image, origins):
+        if jax.default_backend() == "cpu":
+            return _extract_xla(image, origins, ph, pw)
+        return _extract_pallas_batched(image[None], origins[None], ph, pw)[0]
+
+    @ex.def_vmap
+    def ex_vmap(axis_size, in_batched, images, origins):
+        img_b, org_b = in_batched
+        if not img_b:
+            images = jnp.broadcast_to(images, (axis_size,) + images.shape)
+        if not org_b:
+            origins = jnp.broadcast_to(origins,
+                                       (axis_size,) + origins.shape)
+        if jax.default_backend() == "cpu":
+            out = jax.vmap(lambda im, o: _extract_xla(im, o, ph, pw))(
+                images, origins)
+        else:
+            out = _extract_pallas_batched(images, origins, ph, pw)
+        return out, True
+
+    return ex
+
+
 def extract_patches(image: jnp.ndarray, origins: jnp.ndarray, ph: int,
                     pw: int) -> jnp.ndarray:
     """Gather [N, ph, pw] patches at integer `origins` [N, 2] = (y0, x0).
@@ -84,10 +129,12 @@ def extract_patches(image: jnp.ndarray, origins: jnp.ndarray, ph: int,
     Pallas DMA kernel on TPU; plain XLA dynamic-slice batch on CPU (fast
     there, and it keeps the CPU test suite exercising identical call sites).
     Both paths are bit-identical given the alignment contract above.
+
+    Under `jax.vmap` this dispatches to the natively batched kernel (one
+    flat DMA grid over all lanes) via a custom batching rule — the batched
+    VO engine's per-frame cost lives and dies on this.
     """
-    if jax.default_backend() == "cpu":
-        return _extract_xla(image, origins, ph, pw)
-    return _extract_pallas(image, origins, ph, pw)
+    return _extractor(ph, pw)(image, origins)
 
 
 def aligned_origins(desired: jnp.ndarray, h_pad: int, w_pad: int,
