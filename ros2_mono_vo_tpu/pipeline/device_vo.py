@@ -434,24 +434,18 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
                            d: jnp.ndarray | None = None):
     """One frame across all B lanes — semantics of `tracking_step` per lane.
 
-    The expensive rare stages (keyframe creation = full ORB re-detect +
-    match + triangulate, and relocalization) are throttled two ways:
+    FULL-VMAP service: every lane that wants a keyframe is serviced in the
+    SAME frame (no service-capacity queue, no gather/scatter of the map,
+    no starvation — per-lane cadence is identical to the solo engine).
+    The natively batched patch-DMA kernel (ops/pallas/patch.py) makes the
+    vmapped ORB re-detect + match cheap (0.26 ms at B=8, vs 28 ms under
+    the old vmap lowering); a scalar any-lane `lax.cond` still skips the
+    whole stage on frames where no lane wants it.
 
-    1. A SCALAR any-lane `lax.cond` skips them when no lane needs them
-       (a lane-level vmap would lower lane-local conds to selects, making
-       every lane pay ORB every frame — measured 8.0 ms/frame-lane).
-    2. Keyframe SERVICE CAPACITY: at B lanes each keyframing every ~10
-       frames, P(any lane wants one) -> 1, so the any-lane cond alone
-       still fires the full B-lane keyframe step nearly every frame
-       (measured 3.8 ms/frame-lane at B=16). Instead, at most
-       S = ceil(B/8) lanes are serviced per frame — gathered by lane
-       index, run through an S-lane keyframe step, scattered back.
-       Demand is ~B/10 per frame < S, so the queue stays empty in
-       expectation; an overflowing lane's kf_wanted triggers (obs count,
-       frames-since-KF, motion) persist, so it is serviced on the next
-       frame. This is the one deliberate batched-vs-solo divergence
-       (a keyframe can land a frame or two late under contention);
-       tests/test_batched_vo.py bounds its ATE effect."""
+    In-scan local BA is intentionally NOT run here: BatchedDeviceMonoVO
+    dispatches one vmapped all-lane BA per chunk instead (101 ms for 8
+    lanes amortizes to ~4 ms/frame at chunk=25, vs paying it inside the
+    scan at keyframe rate)."""
     tcfg, fcfg = cfg.tracker, cfg.frontend
     frame_b = frame_b.astype(jnp.float32)
     B = frame_b.shape[0]
@@ -478,40 +472,23 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
     lost_b = res_b.n_tracked < tcfg.min_tracked_points
     want_b = tracking_b & res_b.kf_wanted & ~lost_b
 
-    S = max(1, -(-B // 8))               # keyframe service capacity/frame
-    # Service the most URGENT lanes first (fewest tracked points): under
-    # sustained contention jnp.nonzero's ascending lane order would
-    # systematically starve high-index lanes, which can decay below
-    # min_tracked_points and go LOST while queued (ADVICE round-2 #1).
-    urgency = jnp.where(want_b, res_b.n_tracked, jnp.int32(1 << 30))
-    order_b = jnp.argsort(urgency)[:S]
-    sel = jnp.where(want_b[order_b], order_b, B).astype(jnp.int32)
-    safe = jnp.minimum(sel, B - 1)                       # clamped for gather
-    g = lambda x: x[safe]
-
     def do_kf(_):
         r = jax.vmap(
             lambda f, obs, T, m, k: keyframe_step(f, obs, T, m, K, k,
                                                   tcfg, fcfg)
-        )(frame_b[safe], jax.tree.map(g, res_b.obs), res_b.T_wc[safe],
-          jax.tree.map(g, c_b.map), k_kf_b[safe])
-        # parallax gate per serviced lane: keep the original map/obs when it
-        # fails (functional map — no rollback needed, just don't scatter it)
-        ok_s = r.parallax_ok
-        m_eff = _vselect(ok_s, r.map, jax.tree.map(g, c_b.map))
-        o_eff = _vselect(ok_s, r.obs, jax.tree.map(g, res_b.obs))
-        return ok_s, m_eff, o_eff
+        )(frame_b, res_b.obs, res_b.T_wc, c_b.map, k_kf_b)
+        ok_b = want_b & r.parallax_ok
+        # parallax gate per lane: keep the original map/obs when it fails
+        # (functional map — no rollback needed, just select)
+        m_eff = _vselect(ok_b, r.map, c_b.map)
+        o_eff = _vselect(ok_b, r.obs, res_b.obs)
+        return ok_b, m_eff, o_eff
 
     def no_kf(_):
-        return (jnp.zeros((S,), bool), jax.tree.map(g, c_b.map),
-                jax.tree.map(g, res_b.obs))
+        return jnp.zeros((B,), bool), c_b.map, res_b.obs
 
-    ok_s, m_eff, o_eff = jax.lax.cond(jnp.any(want_b), do_kf, no_kf, None)
-    # scatter serviced lanes back ([S] -> [B]; sel==B entries drop)
-    scat = lambda full, part: full.at[sel].set(part, mode="drop")
-    map_b = jax.tree.map(scat, c_b.map, m_eff)
-    obs_kf_b = jax.tree.map(scat, res_b.obs, o_eff)
-    kf_added_b = jnp.zeros((B,), bool).at[sel].set(ok_s, mode="drop") & want_b
+    kf_added_b, map_b, obs_kf_b = jax.lax.cond(jnp.any(want_b), do_kf,
+                                               no_kf, None)
 
     mode_trk = jnp.where(lost_b, MODE_LOST, MODE_TRACKING).astype(jnp.int32)
     c_trk = c_b._replace(
@@ -527,57 +504,16 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
         tracking_valid=~lost_b,
     )
 
-    # ---- local BA for the lanes that just added a keyframe (same
-    # gather/scatter pattern as keyframe service) ----
-    if cfg.backend.enable_local_ba:
-        from ros2_mono_vo_tpu.backend.window import (extract_window,
-                                                     apply_window)
-        from ros2_mono_vo_tpu.backend.ba import bundle_adjust
-        from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
-        bacfg = cfg.backend
-        kf_added_s = kf_added_b[safe]
-
-        def ba_one(m, pose, fire):
-            def go(_):
-                prob, info = extract_window(
-                    m, K, window=bacfg.ba_window_size,
-                    capacity=bacfg.ba_max_landmarks)
-                res = bundle_adjust(prob, iterations=bacfg.ba_iterations,
-                                    huber_delta=bacfg.huber_delta,
-                                    lam0=bacfg.lm_lambda_init,
-                                    lam_factor=bacfg.lm_lambda_factor)
-                m2 = apply_window(m, res.T_cw, res.lm_xyz, info)
-                return m2, se3_inverse(res.T_cw[-1])
-
-            def skip(_):
-                return m, pose
-
-            return jax.lax.cond(fire, go, skip, None)
-
-        def do_ba(_):
-            return jax.vmap(ba_one)(
-                jax.tree.map(lambda x: x[safe], c_trk.map),
-                c_trk.pose_wc[safe], kf_added_s)
-
-        def no_ba(_):
-            return (jax.tree.map(lambda x: x[safe], c_trk.map),
-                    c_trk.pose_wc[safe])
-
-        m_ba, pose_ba = jax.lax.cond(jnp.any(kf_added_b), do_ba, no_ba, None)
-        c_trk = c_trk._replace(
-            map=jax.tree.map(scat, c_trk.map, m_ba),
-            pose_wc=scat(c_trk.pose_wc, pose_ba))
-
-    # ---- loop closure for the lanes that just added a keyframe: those are
-    # exactly the serviced lanes `sel`, so reuse the gather/scatter pattern
-    # (S-lane LC step behind the same scalar any-lane cond) ----
+    # ---- loop closure for lanes that just added a keyframe (cooldown per
+    # lane; scalar any-fire cond skips everything on quiet frames) ----
     lc_info_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
                              _lc_empty())
     if cfg.backend.enable_loop_closure:
         from ros2_mono_vo_tpu.backend.loop_closure import \
             close_loop_and_correct
         bcfg = cfg.backend
-        kf_added_s = kf_added_b[safe]           # serviced lanes' outcomes
+        cool_ok_b = c_trk.map.kf_count - c_b.lc_count >= bcfg.lc_cooldown_kf
+        fire_b = kf_added_b & cool_ok_b
 
         def lc_one(m, pose, k, fire):
             def go(_):
@@ -597,30 +533,20 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
 
             return jax.lax.cond(fire, go, skip, None)
 
-        cool_ok_b = c_trk.map.kf_count - c_b.lc_count >= bcfg.lc_cooldown_kf
-        fire_s = kf_added_s & cool_ok_b[safe]
-
         def do_lc(_):
-            return jax.vmap(lc_one)(
-                jax.tree.map(lambda x: x[safe], c_trk.map),
-                c_trk.pose_wc[safe], k_lc_b[safe], fire_s)
+            return jax.vmap(lc_one)(c_trk.map, c_trk.pose_wc, k_lc_b, fire_b)
 
         def no_lc(_):
-            return (jax.tree.map(lambda x: x[safe], c_trk.map),
-                    c_trk.pose_wc[safe],
-                    jax.tree.map(lambda x: jnp.broadcast_to(x, (S,) + x.shape),
-                                 _lc_empty()))
+            return (c_trk.map, c_trk.pose_wc,
+                    jax.tree.map(
+                        lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                        _lc_empty()))
 
-        m_lc, pose_lc, lc_s = jax.lax.cond(jnp.any(kf_added_b), do_lc,
-                                           no_lc, None)
-        c_trk = c_trk._replace(
-            map=jax.tree.map(scat, c_trk.map, m_lc),
-            pose_wc=scat(c_trk.pose_wc, pose_lc))
-        lc_info_b = jax.tree.map(scat, lc_info_b, lc_s)
-        lc_cnt_b = c_b.lc_count.at[sel].set(
-            jnp.where(lc_s.closed, c_trk.map.kf_count[safe], # per-lane count
-                      c_b.lc_count[safe]), mode="drop")
-        c_trk = c_trk._replace(lc_count=lc_cnt_b.astype(jnp.int32))
+        m_lc, pose_lc, lc_info_b = jax.lax.cond(jnp.any(fire_b), do_lc,
+                                                no_lc, None)
+        lc_cnt_b = jnp.where(lc_info_b.closed, c_trk.map.kf_count,
+                             c_b.lc_count).astype(jnp.int32)
+        c_trk = c_trk._replace(map=m_lc, pose_wc=pose_lc, lc_count=lc_cnt_b)
 
     out_trk = VOStepOut(pose_wc=c_trk.pose_wc, valid=~lost_b, mode=mode_trk,
                         n_tracked=res_b.n_tracked, kf_added=kf_added_b,
@@ -686,6 +612,39 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def batched_local_ba(carry_b: VOCarry, K: jnp.ndarray, cfg: VOConfig):
+    """One vmapped local-BA pass over ALL lanes (chunk-cadence counterpart
+    of the in-scan BA the solo engine runs at keyframe cadence: 8 lanes of
+    window-8 BA cost ~100 ms, which amortizes to ~4 ms/frame at chunk=25
+    but would be ruinous inside the per-frame scan). Lanes not in TRACKING
+    keep their state (select)."""
+    from ros2_mono_vo_tpu.backend.window import extract_window, apply_window
+    from ros2_mono_vo_tpu.backend.ba import bundle_adjust
+    from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
+    from ros2_mono_vo_tpu.pipeline.state import last_kf_slot
+    bcfg = cfg.backend
+
+    def one(m, pose):
+        last = last_kf_slot(m)
+        T_last_old = m.kf_pose_wc[last]
+        prob, info = extract_window(m, K, window=bcfg.ba_window_size,
+                                    capacity=bcfg.ba_max_landmarks)
+        res = bundle_adjust(prob, iterations=bcfg.ba_iterations,
+                            huber_delta=bcfg.huber_delta,
+                            lam0=bcfg.lm_lambda_init,
+                            lam_factor=bcfg.lm_lambda_factor)
+        m2 = apply_window(m, res.T_cw, res.lm_xyz, info)
+        # the live pose rides with the latest keyframe's correction
+        delta = m2.kf_pose_wc[last] @ se3_inverse(T_last_old)
+        return m2, delta @ pose
+
+    m_b, pose_b = jax.vmap(one)(carry_b.map, carry_b.pose_wc)
+    ok = (carry_b.mode == MODE_TRACKING) & (carry_b.map.kf_count >= 3)
+    return carry_b._replace(map=_vselect(ok, m_b, carry_b.map),
+                            pose_wc=_vselect(ok, pose_b, carry_b.pose_wc))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def track_scan_batched(carry_b: VOCarry, frames_b: jnp.ndarray,
                        n_real: jnp.ndarray, K: jnp.ndarray, cfg: VOConfig,
                        d: jnp.ndarray | None = None):
@@ -737,6 +696,8 @@ class BatchedDeviceMonoVO:
                    for b in range(batch)]
         self.carry = jax.tree.map(lambda *xs: jnp.stack(xs), *carries)
         self.trajectories: list[list] = [[] for _ in range(batch)]
+        self.loop_closures: list[list] = [[] for _ in range(batch)]
+        self._traj_anchor: list[list] = [[] for _ in range(batch)]
         self._frame_idx = 0
         self._all_tracking = False
         self._pending: list = []
@@ -755,11 +716,27 @@ class BatchedDeviceMonoVO:
         import numpy as np
         valid = np.asarray(outs.valid)   # [B, C]
         poses = np.asarray(outs.pose_wc)
+        kfc = np.asarray(outs.kf_count)
+        rel = np.asarray(outs.pose_rel_kf)
+        closed = np.asarray(outs.lc.closed)
         for b in range(self.batch):
             for i in range(n):
                 if valid[b, i]:
                     self.trajectories[b].append(
                         (float(self._frame_idx + i), poses[b, i]))
+                    self._traj_anchor[b].append(
+                        (int(kfc[b, i]) - 1, rel[b, i]))
+                if closed[b, i]:
+                    self.loop_closures[b].append(
+                        (self._frame_idx + i, {
+                            "cand_index": int(np.asarray(
+                                outs.lc.cand_index)[b, i]),
+                            "query_index": int(np.asarray(
+                                outs.lc.query_index)[b, i]),
+                            "in_ring": bool(np.asarray(
+                                outs.lc.in_ring)[b, i]),
+                            "n_inliers": int(np.asarray(
+                                outs.lc.n_inliers)[b, i])}))
 
     def process_chunk(self, frames_b) -> None:
         """frames_b: [B, C, H, W] (C <= chunk; uint8 preferred)."""
@@ -778,6 +755,8 @@ class BatchedDeviceMonoVO:
         else:
             self.carry, outs = track_scan_batched(
                 self.carry, fdev, jnp.int32(n), self.K, self.cfg, d=self.d)
+            if self.cfg.backend.enable_local_ba:
+                self.carry = batched_local_ba(self.carry, self.K, self.cfg)
             self._pending.append((self._frame_idx, n, outs))
         self._frame_idx += n
 
@@ -789,14 +768,32 @@ class BatchedDeviceMonoVO:
                 leaf.copy_to_host_async()
         for offset, n, outs in self._pending:
             o = jax.device_get(outs)     # full padded arrays: already in flight
-            valid = np.asarray(o.valid)[:, :n]
-            poses = np.asarray(o.pose_wc)[:, :n]
-            for b in range(self.batch):
-                for i in range(n):
-                    if valid[b, i]:
-                        self.trajectories[b].append(
-                            (float(offset + i), poses[b, i]))
+            saved = self._frame_idx
+            self._frame_idx = offset
+            self._record(jax.tree.map(lambda x: x[:, :n], o), n)
+            self._frame_idx = saved
         self._pending.clear()
+        if any(self.loop_closures):
+            self._retro_correct()
+
+    def _retro_correct(self) -> None:
+        """Per-lane anchor-relative re-emission against each lane's
+        corrected keyframe database (see DeviceMonoVO._retro_correct)."""
+        import numpy as np
+        m = self.carry.map
+        kdb_pose = np.asarray(m.kdb_pose_wc)      # [B, KL, 4, 4]
+        kdb_valid = np.asarray(m.kdb_valid)
+        kfc_now = np.asarray(m.kf_count)
+        KL = kdb_valid.shape[1]
+        for b in range(self.batch):
+            if not self.loop_closures[b]:
+                continue
+            oldest = max(int(kfc_now[b]) - KL, 0)
+            for j, (stamp, pose) in enumerate(self.trajectories[b]):
+                a, rel = self._traj_anchor[b][j]
+                if a < oldest or a < 0 or not kdb_valid[b, a % KL]:
+                    continue
+                self.trajectories[b][j] = (stamp, kdb_pose[b, a % KL] @ rel)
 
 
 class DeviceMonoVO:

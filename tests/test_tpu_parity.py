@@ -38,16 +38,41 @@ class TestPatchDMA:
         memory operation; given the alignment contract they must agree
         bit-for-bit (ops/pallas/patch.py docstring)."""
         import jax.numpy as jnp
-        from ros2_mono_vo_tpu.ops.pallas.patch import (_extract_pallas,
-                                                       _extract_xla)
+        from ros2_mono_vo_tpu.ops.pallas.patch import (
+            _extract_pallas_batched, _extract_xla)
         h, w, ph, pw = 256, 512, 16, 128
         img = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
         ys = rng.integers(0, (h - ph) // 8 + 1, 64) * 8
         xs = rng.integers(0, (w - pw) // 128 + 1, 64) * 128
         origins = jnp.asarray(np.stack([ys, xs], 1).astype(np.int32))
-        a = np.asarray(_extract_pallas(img, origins, ph, pw))
+        a = np.asarray(_extract_pallas_batched(img[None], origins[None],
+                                               ph, pw)[0])
         b = np.asarray(_extract_xla(img, origins, ph, pw))
         np.testing.assert_array_equal(a, b)
+
+
+
+class TestBatchedPatchDMA:
+    def test_vmapped_matches_per_lane(self, jaxmod, rng):
+        """The custom-vmap batched DMA kernel must agree bitwise with
+        per-lane single-image extraction (the batched engine's entire LK
+        front end rides on this rule)."""
+        import jax
+        import jax.numpy as jnp
+        from ros2_mono_vo_tpu.ops.pallas.patch import extract_patches
+
+        B, N, H, W, ph, pw = 4, 64, 192, 512, 32, 256
+        imgs = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
+        ys = (rng.integers(0, (H - ph) // 8, (B, N)) * 8).astype(np.int32)
+        xs = (rng.integers(0, (W - pw) // 128, (B, N)) * 128).astype(np.int32)
+        orgs = jnp.stack([jnp.asarray(ys), jnp.asarray(xs)], -1)
+
+        batched = jax.jit(jax.vmap(
+            lambda im, o: extract_patches(im, o, ph, pw)))(imgs, orgs)
+        for b in range(B):
+            single = extract_patches(imgs[b], orgs[b], ph, pw)
+            assert np.array_equal(np.asarray(batched[b]),
+                                  np.asarray(single)), f"lane {b} mismatch"
 
 
 class TestApproxTopK:
