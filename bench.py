@@ -65,7 +65,7 @@ def make_sequence(n_frames: int, image_shape=IMAGE_SHAPE, seed: int = 0):
 
     rng = np.random.default_rng(seed)
     scene = KittiProxyScene(rng, image_shape=image_shape)
-    poses = scene.camera_path(n_frames, speed=0.5, curve=0.0006, sway=0.04)
+    poses = scene.camera_path(n_frames, speed=0.5, curve=0.12, sway=0.04)
     frames = [scene.render(T) for T in poses]
     return scene, poses, frames
 

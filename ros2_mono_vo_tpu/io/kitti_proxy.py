@@ -186,16 +186,19 @@ class KittiProxyScene:
         return xyz, ok
 
     def camera_path(self, n_frames: int, speed: float = 0.8,
-                    curve: float = 0.0008, sway: float = 0.05):
+                    curve: float = 0.15, curve_freq: float = 0.02,
+                    sway: float = 0.05):
         """Forward-dominant street driving path (T_wc per frame).
 
-        speed is meters/frame (KITTI ~0.8-1.2 m/frame at 10 Hz); `curve`
-        turns the road gently; `sway` adds lateral oscillation."""
+        speed is meters/frame (KITTI ~0.8-1.2 m/frame at 10 Hz). The
+        heading WEAVES sinusoidally (amplitude `curve` rad, frequency
+        `curve_freq` rad/frame) so the lateral excursion stays bounded
+        (~speed*curve/curve_freq) and arbitrarily long sequences never
+        leave the corridor; `sway` adds small lateral oscillation on top."""
         poses = []
-        yaw = 0.0
         pos = np.zeros(3, np.float64)
         for i in range(n_frames):
-            yaw += curve * min(i, n_frames)
+            yaw = curve * np.sin(curve_freq * i)
             c, s = np.cos(yaw), np.sin(yaw)
             Rw = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
             step = Rw @ np.array([0.0, 0.0, speed])
