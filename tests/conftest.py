@@ -37,3 +37,17 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables():
+    """Release compiled executables between test modules.
+
+    A long pytest process accumulates hundreds of live XLA:CPU executables;
+    past a threshold the CPU backend has been observed to segfault inside
+    backend_compile_and_load (deterministically at the same test when the
+    whole suite runs in one process, while any subset passes). Dropping
+    caches per module keeps the live-executable count bounded; the
+    persistent compilation cache (above) makes re-loads cheap."""
+    yield
+    _jax.clear_caches()
