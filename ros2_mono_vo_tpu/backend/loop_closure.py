@@ -170,11 +170,19 @@ def detect_loop_db(m: MapState, min_gap: int = 10,
             jnp.where(ring_ok, q_present[jnp.clip(m.kf_lm_id, 0, L - 1)],
                       False), axis=1)                   # [Kmax]
         in_ring_slot = idx >= m.kf_count - kmax
+        # The id-based gate applies ONLY to in-ring candidates: their
+        # landmark ids are protected from recycling (state.recycle_landmarks
+        # protection-set invariant), so id equality means true covisibility.
+        # Beyond-ring db snapshots hold creation-time ids that may alias
+        # freshly recycled slots — counting those would spuriously exclude
+        # true revisits (ADVICE round-3 #2) — and a beyond-ring candidate is
+        # >= ring-size keyframes old, far past odometry overlap, so no
+        # covisibility exclusion is needed there.
         shared = jnp.where(
             in_ring_slot,
             jnp.maximum(shared_db,
                         shared_ring_kf[jnp.clip(idx, 0, None) % kmax]),
-            shared_db)
+            jnp.zeros_like(shared_db))
         eligible = eligible & (shared <= max_covisible)
     sims = jnp.where(eligible, sims, -2.0)
     best = jnp.argmax(sims)

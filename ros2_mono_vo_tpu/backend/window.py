@@ -24,6 +24,11 @@ class WindowInfo(NamedTuple):
     kf_mask: jnp.ndarray    # [M] bool — slot holds a real keyframe
     lm_global: jnp.ndarray  # [P] global landmark id per local slot (-1 unused)
     lm_mask: jnp.ndarray    # [P] bool
+    kf_index: jnp.ndarray   # [M] absolute keyframe index (-1 where invalid)
+    #   — lets apply_window mirror refined poses into the keyframe database
+    #   (kdb slot = index % KL), keeping db consumers (retro-correction,
+    #   full-trajectory PGO, beyond-ring closure) consistent with BA
+    #   (ADVICE round-3 #3)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "capacity"))
@@ -62,7 +67,12 @@ def extract_window(m: MapState, K: jnp.ndarray, window: int,
     lm_xyz = m.lm_xyz[jnp.clip(lm_global, 0, L - 1)] * lm_mask[:, None]
 
     T_cw = se3_inverse(m.kf_pose_wc[slots])
-    pose_fixed = (jnp.arange(window) < 2) | ~kf_mask
+    # Gauge anchoring must hold from the FIRST window (ADVICE round-3 #1):
+    # while kf_count < window the leading positions are invalid padding, so
+    # fix the first two VALID positions (cumsum over kf_mask), not literal
+    # positions 0/1 — otherwise the early keyframes optimize with a free
+    # 7-dof monocular gauge exactly while the seed map establishes scale.
+    pose_fixed = (jnp.cumsum(kf_mask.astype(jnp.int32)) <= 2) | ~kf_mask
 
     # landmarks observed by a gauge-fixed keyframe are held constant: they
     # anchor the window to the global map scale (see BAProblem.lm_fixed)
@@ -75,17 +85,26 @@ def extract_window(m: MapState, K: jnp.ndarray, window: int,
                      obs_lm=obs_lm, obs_mask=obs_mask, K=K,
                      pose_fixed=pose_fixed, lm_fixed=lm_fixed)
     return prob, WindowInfo(slots=slots, kf_mask=kf_mask,
-                            lm_global=lm_global, lm_mask=lm_mask)
+                            lm_global=lm_global, lm_mask=lm_mask,
+                            kf_index=jnp.where(kf_mask, idx, -1))
 
 
 @jax.jit
 def apply_window(m: MapState, T_cw: jnp.ndarray, lm_xyz: jnp.ndarray,
                  info: WindowInfo) -> MapState:
-    """Scatter optimized poses/landmarks back into the map."""
+    """Scatter optimized poses/landmarks back into the map — ring AND
+    keyframe database (the db mirrors every window keyframe at slot
+    index % KL; leaving it stale would make retro-correction and the
+    full-trajectory pose graph mix pre- and post-BA estimates of the same
+    keyframes, ADVICE round-3 #3)."""
     L = m.lm_valid.shape[0]
+    pose_wc = se3_inverse(T_cw)
     kf_pose = m.kf_pose_wc.at[
         jnp.where(info.kf_mask, info.slots, m.kf_valid.shape[0])].set(
-        se3_inverse(T_cw), mode="drop")
+        pose_wc, mode="drop")
+    KL = m.kdb_valid.shape[0]
+    dslot = jnp.where(info.kf_index >= 0, info.kf_index % KL, KL)
+    kdb_pose = m.kdb_pose_wc.at[dslot].set(pose_wc, mode="drop")
     lm_slot = jnp.where(info.lm_mask, info.lm_global, L)
     lm = m.lm_xyz.at[lm_slot].set(lm_xyz, mode="drop")
-    return m._replace(kf_pose_wc=kf_pose, lm_xyz=lm)
+    return m._replace(kf_pose_wc=kf_pose, kdb_pose_wc=kdb_pose, lm_xyz=lm)

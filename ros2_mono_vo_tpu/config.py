@@ -34,8 +34,8 @@ class InitializerConfig:
     min_triangulated_points: int = 4
     # Seed-landmark quality gates (see TrackerConfig.tri_*; the seed map
     # fixes the global monocular scale, so outlier depths here are costly)
-    tri_reproj_thresh: float = 4.0
-    tri_min_parallax_deg: float = 0.35
+    tri_reproj_thresh: float = 4.0      # px; non-positive disables the gate
+    tri_min_parallax_deg: float = 0.35  # deg; non-positive disables the gate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,8 +67,8 @@ class TrackerConfig:
     # chirality-filters — tracker.cpp:155-161 — but ships the reprojection
     # metric unused, utils.cpp:245-256). Wrong-match landmarks admitted at
     # keyframe creation measurably run the monocular map scale away.
-    tri_reproj_thresh: float = 4.0      # px, both views
-    tri_min_parallax_deg: float = 0.35  # min ray angle for a usable depth
+    tri_reproj_thresh: float = 4.0      # px, both views; <=0 disables
+    tri_min_parallax_deg: float = 0.35  # min ray angle for depth; <=0 disables
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,6 +94,14 @@ class FrontendConfig:
     lk_iterations: int = 10
     # RANSAC hypothesis batch (hypothesis-parallel engine)
     ransac_hypotheses: int = 512
+    # Batched engine: max lanes serviced by the keyframe stage per frame.
+    # The service batch is min(max(kf_service_lanes, ceil(B/4)), B): the
+    # full-vmap service paid ALL B lanes of ORB re-detect + match +
+    # triangulate whenever ANY lane fired (P(any) -> 1 as B grows — the
+    # round-3 negative batch scaling); capping makes service cost track the
+    # actual keyframe rate. Lanes beyond the cap defer a frame or two
+    # (urgency order: longest-since-keyframe first, so no starvation).
+    kf_service_lanes: int = 2
     # Frame-to-frame tracking slot capacity. Only landmark-bearing
     # observations are LK-tracked (reference tracker.cpp:61-62 filters
     # WITH_LANDMARKS); their count is bounded by last-keyframe matches and
@@ -135,6 +143,20 @@ class BackendConfig:
     ba_window_size: int = 8           # engine-loop window (smaller = faster)
     ba_iterations: int = 5
     ba_max_landmarks: int = 4096
+    # Batched engine BA placement. Default (True): BA runs IN-SCAN at
+    # keyframe cadence for exactly the lanes the capped keyframe service
+    # just serviced — identical semantics to the solo engine (each
+    # keyframe's window refined at creation, live pose = refined newest-kf
+    # pose), with cost bounded by the service width, not B. False: legacy
+    # chunk-cadence mode — one all-lane vmapped BA every ba_every_frames,
+    # with the live pose riding the newest keyframe's correction. Measured
+    # on the KITTI-proxy bench (150 frames, B=8): 25-frame cadence left
+    # worst-lane ATE at 1.55 (keyframes fire every ~2-3 frames, so most
+    # fell out of the window-8 BA before ever being refined); 10-frame
+    # cadence reached 0.30 vs solo 0.27; in-scan removes the remaining
+    # cadence/pose-ride approximations entirely.
+    batched_inscan_ba: bool = True
+    ba_every_frames: int = 10
     # Loop closure + pose-graph (engine-integrated; reference README.md:97
     # roadmap). Off by default to preserve reference parity semantics.
     enable_loop_closure: bool = False

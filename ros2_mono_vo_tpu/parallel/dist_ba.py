@@ -143,11 +143,19 @@ def partition_by_landmark(prob: BAProblem, n_shards: int) -> BAProblem:
 
 def _lm_loop_landmark_sharded(p: BAProblem, iterations: int,
                               huber_delta: float, lam0: float,
-                              lam_factor: float, axis: str) -> BAResult:
+                              lam_factor: float,
+                              axis: str | tuple[str, ...]) -> BAResult:
     """LM loop body with device-LOCAL landmark blocks.
 
     `p` is the shard-local problem: lm_xyz [P/D, 3], obs_* [M, N/D] with
     shard-local landmark ids. Only the reduced camera system travels.
+
+    `axis` may be a tuple of mesh axes (e.g. ("dcn", "lm") on a multi-host
+    pod slice): psum over the tuple reduces over the flattened group, and
+    XLA lowers it hierarchically over the mesh topology — intra-host shards
+    reduce over ICI, and only one combined contribution per host crosses
+    DCN. The wire payload is the reduced camera system either way
+    (M^2*36 floats), independent of landmark and observation counts.
     """
     M = p.T_cw.shape[0]
     eye3 = jnp.eye(3, dtype=p.lm_xyz.dtype)
@@ -219,10 +227,17 @@ def landmark_sharded_bundle_adjust(prob: BAProblem, mesh: Mesh,
                                    lam_factor: float = 10.0,
                                    pre_partitioned: bool = False) -> BAResult:
     """Distributed BA with the landmark axis (and its observations) sharded
-    over `mesh` (1-D, any axis name). Communication per LM iteration is
-    O(M^2 * 36) floats — independent of P and N."""
-    axis = mesh.axis_names[0]
-    n_shards = mesh.shape[axis]
+    over `mesh`. Communication per LM iteration is O(M^2 * 36) floats —
+    independent of P and N.
+
+    Accepts a 1-D mesh (single-host: all shards on ICI) OR a 2-D
+    ("dcn", lm) pod mesh from `make_pod_mesh`: landmarks shard over the
+    flattened (host, local-device) grid and the camera-system reductions
+    psum over both axes, which XLA lowers hierarchically (ICI first, one
+    contribution per host over DCN)."""
+    axes = mesh.axis_names
+    axis = axes[0] if len(axes) == 1 else tuple(axes)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
     Pn = prob.lm_xyz.shape[0]
     p_part = prob if pre_partitioned else partition_by_landmark(prob, n_shards)
 

@@ -117,8 +117,10 @@ def init_attempt(ref: Features, cur: Features, K: jnp.ndarray,
         triangulation_quality_mask
     quality = triangulation_quality_mask(
         K, jnp.eye(4, dtype=K.dtype), T_cur_cw, pts3d, ref.uv, cur_uv,
-        reproj_thresh=icfg.tri_reproj_thresh or None,
-        min_parallax_deg=icfg.tri_min_parallax_deg or None)
+        reproj_thresh=(icfg.tri_reproj_thresh
+                       if icfg.tri_reproj_thresh > 0 else None),
+        min_parallax_deg=(icfg.tri_min_parallax_deg
+                          if icfg.tri_min_parallax_deg > 0 else None))
     keep = keep_geom & quality
     n_triangulated = jnp.sum(keep)
 

@@ -207,8 +207,19 @@ def add_keyframe(m: MapState, pose_wc: jnp.ndarray, uv: jnp.ndarray,
     ssum = jnp.sum(desc * w, axis=0)
     summary = ssum / jnp.clip(jnp.linalg.norm(ssum), 1e-6, None)
     lm_ok = obs_valid & (lm_id >= 0) & m.lm_valid[jnp.clip(lm_id, 0, L - 1)]
-    order = jnp.argsort(jnp.where(lm_ok, 0, 1), stable=True)[:C]
-    sel_ok = lm_ok[order]
+    n = lm_ok.shape[0]
+    order = jnp.argsort(jnp.where(lm_ok, 0, 1), stable=True)
+    if C <= n:
+        order = order[:C]
+        sel_ok = lm_ok[order]
+    else:
+        # db slot is wider than the feature bank (kdb_obs > max_features):
+        # pad with masked-out repeats of slot 0 so every kdb_* scatter below
+        # stays [C]-shaped.
+        sel_ok = jnp.concatenate([lm_ok[order],
+                                  jnp.zeros((C - n,), bool)])
+        order = jnp.concatenate([order,
+                                 jnp.zeros((C - n,), order.dtype)])
     sel_ids = jnp.clip(lm_id[order], 0, L - 1)
 
     return m._replace(

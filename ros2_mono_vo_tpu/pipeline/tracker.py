@@ -151,8 +151,10 @@ def keyframe_step(image: jnp.ndarray, tracked: FrameObs, T_wc: jnp.ndarray,
         valid=mm.valid & m.kf_obs_valid[last])
     quality = triangulation_quality_mask(
         K, T_kf_cw, T_cur_cw, pts3d, m.kf_uv[last], cur_uv,
-        reproj_thresh=tcfg.tri_reproj_thresh or None,
-        min_parallax_deg=tcfg.tri_min_parallax_deg or None)
+        reproj_thresh=(tcfg.tri_reproj_thresh
+                       if tcfg.tri_reproj_thresh > 0 else None),
+        min_parallax_deg=(tcfg.tri_min_parallax_deg
+                          if tcfg.tri_min_parallax_deg > 0 else None))
 
     # --- reuse existing landmark ids, allocate for the rest (:212-228);
     # reuse follows the reference's chirality-only rule, NEW allocations
