@@ -70,7 +70,7 @@ def make_sequence(n_frames: int, image_shape=IMAGE_SHAPE, seed: int = 0):
     return scene, poses, frames
 
 
-def _vo_config(ba: bool = False):
+def _vo_config(ba: bool = False, lc: bool = False):
     from ros2_mono_vo_tpu.config import (VOConfig, FrontendConfig,
                                          TrackerConfig, BackendConfig)
     return VOConfig(
@@ -78,7 +78,7 @@ def _vo_config(ba: bool = False):
                                 ransac_hypotheses=512, max_landmarks=16384,
                                 max_keyframes=32),
         tracker=TrackerConfig(),
-        backend=BackendConfig(enable_local_ba=ba))
+        backend=BackendConfig(enable_local_ba=ba, enable_loop_closure=lc))
 
 
 def _traj_ate(trajectory, poses):
@@ -160,6 +160,38 @@ def run_ours_batched(scene, frames, poses, batch: int, chunk=25):
     worst = max(ates) if ates else float("nan")
     agg = batch * n_timed / elapsed if n_timed else 0.0
     return agg, worst, batch * n_timed
+
+
+def run_loop_closure(scene, n_frames: int, chunk=25):
+    """Loop-closure payoff on an out-and-back drive (reference roadmap
+    'Loop Closing', README.md:97): same engine + BA, with and without the
+    closure machinery. Returns (ate_lc, ate_nolc, fps_lc, fps_nolc,
+    n_closures). The LC run also applies finalize()'s full-trajectory
+    pose graph — the production finishing pass."""
+    from ros2_mono_vo_tpu.pipeline.device_vo import DeviceMonoVO
+
+    poses = scene.loop_path(n_frames, speed=0.5)
+    stack = np.clip(np.stack([scene.render(T) for T in poses]),
+                    0, 255).astype(np.uint8)
+
+    def one(lc: bool, seed: int):
+        cfg = _vo_config(ba=True, lc=lc)
+        vo = DeviceMonoVO(cfg, scene.K, scene.image_shape, seed=seed,
+                          chunk=chunk, sync=False)
+        t0 = time.perf_counter()
+        for i in range(0, n_frames, chunk):
+            vo.process_chunk(stack[i:i + chunk])
+        vo.finalize()
+        if lc:
+            vo.optimize_full_trajectory()
+        elapsed = time.perf_counter() - t0
+        ate = _traj_ate(vo.trajectory, poses)
+        return ate, n_frames / elapsed, len(vo.loop_closures)
+
+    one(True, seed=0)                     # compile warmup
+    ate_lc, fps_lc, n_clo = one(True, seed=1)
+    ate_no, fps_no, _ = one(False, seed=1)
+    return ate_lc, ate_no, fps_lc, fps_no, n_clo
 
 
 def run_reference_cpu(scene, frames, poses):
@@ -335,6 +367,22 @@ def main():
         if agg > best_fps and np.isfinite(worst_ate):
             best_fps, best_b, ate_batched = agg, b, worst_ate
 
+    # loop-closure payoff line (out-and-back drive, solo engine + BA):
+    # secondary metric, skipped in --quick
+    lc_extra = {}
+    if not args.quick:
+        ate_lc, ate_nolc, fps_lc, fps_nolc, n_clo = run_loop_closure(
+            scene, n, chunk=args.chunk)
+        print(f"# loop drive ({n} frames out-and-back): ATE with LC "
+              f"{ate_lc:.3f} ({n_clo} closures, {fps_lc:.1f} fps) vs "
+              f"without {ate_nolc:.3f} ({fps_nolc:.1f} fps)",
+              file=sys.stderr)
+        lc_extra = {"ate_loop_lc": round(ate_lc, 4),
+                    "ate_loop_nolc": round(ate_nolc, 4),
+                    "fps_loop_lc": round(fps_lc, 2),
+                    "fps_loop_nolc": round(fps_nolc, 2),
+                    "n_loop_closures": n_clo}
+
     # parity bound: scale-aligned ATE within 25% (+0.15 map-unit floor for
     # noise on short paths) of the measured reference pipeline's ATE
     bound = max(1.25 * ate_ref, ate_ref + 0.15)
@@ -352,6 +400,7 @@ def main():
         "ate_solo_noba": round(ate_noba, 4),
         "ate_ref": round(ate_ref, 4),
         "ate_parity": parity,
+        **lc_extra,
     }))
 
 

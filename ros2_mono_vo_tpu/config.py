@@ -141,8 +141,12 @@ class BackendConfig:
     # reference parity semantics; the bench reports both.
     enable_local_ba: bool = False
     ba_window_size: int = 8           # engine-loop window (smaller = faster)
-    ba_iterations: int = 5
-    ba_max_landmarks: int = 4096
+    # At keyframe cadence every solve warm-starts from the previous call's
+    # nearly-converged window, so few LM iterations are needed; profiler
+    # (tools/profile_scan_ops.py): the LM scan was ~1/3 of the whole
+    # batched step at 5 iterations.
+    ba_iterations: int = 3
+    ba_max_landmarks: int = 2048
     # Batched engine BA placement. Default (True): BA runs IN-SCAN at
     # keyframe cadence for exactly the lanes the capped keyframe service
     # just serviced — identical semantics to the solo engine (each

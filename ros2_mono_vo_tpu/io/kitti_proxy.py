@@ -210,5 +210,26 @@ class KittiProxyScene:
             pos = pos + step
         return poses
 
+    def loop_path(self, n_frames: int, speed: float = 0.5,
+                  sway: float = 0.04):
+        """Out-and-back drive for the loop-closure benchmark: forward for
+        n/2 frames, then reverse along the same track with UNCHANGED
+        heading (dolly backward), so every return-leg frame revisits an
+        outbound view from the same position and direction — the regime
+        place recognition can match. Odometry drift accumulates over the
+        full outbound leg; closures become possible once the revisited
+        keyframes age past the ring (db path) or min_gap (ring path)."""
+        half = n_frames // 2
+        poses = []
+        pos = np.zeros(3, np.float64)
+        for i in range(n_frames):
+            direction = 1.0 if i < half else -1.0
+            lateral = np.array([sway * np.sin(0.05 * i), 0.0, 0.0])
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = (pos + lateral).astype(np.float32)
+            poses.append(T)
+            pos = pos + direction * np.array([0.0, 0.0, speed])
+        return poses
+
     def render_sequence(self, poses):
         return [self.render(T) for T in poses]

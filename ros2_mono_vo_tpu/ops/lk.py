@@ -149,16 +149,28 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
              jnp.clip(des_next[:, 1], 0, max(wp - pc, 0))], -1)
         ry = onehot_rows(used[:, 0] - o_next[:, 0], pc, ph_next)
         rx = onehot_rows(used[:, 1] - o_next[:, 1], pc, _PW)
-        compact = sample_patch(patches_next, ry, rx)         # [N, pc, pc]
+        # The compact patch is re-read by every GN iteration's sampling
+        # matmul — the single largest HBM stream in the tracker. bf16
+        # halves it: uint8-derived pixel values are exactly representable
+        # (8 significand bits cover 0..255; coarser pyramid levels round at
+        # ~1 intensity LSB, below image noise), and the MXU accumulates in
+        # f32 (sample_patch's preferred_element_type), so GN updates keep
+        # f32 precision.
+        compact = sample_patch(patches_next, ry, rx).astype(
+            jnp.bfloat16)                                    # [N, pc, pc]
         loc0_y = guess[:, 1] - used[:, 0]
         loc0_x = guess[:, 0] - used[:, 1]
         offs_win = jnp.arange(win, dtype=uv.dtype) - r
 
         def sample_next(delta):
+            # hat weights quantize to bf16 (~2^-8 of a pixel per tap) —
+            # far below the GN convergence scale
             wy = bilinear_weights(
-                (loc0_y + delta[:, 1])[:, None] + offs_win, pc)
+                (loc0_y + delta[:, 1])[:, None] + offs_win, pc).astype(
+                jnp.bfloat16)
             wx = bilinear_weights(
-                (loc0_x + delta[:, 0])[:, None] + offs_win, pc)
+                (loc0_x + delta[:, 0])[:, None] + offs_win, pc).astype(
+                jnp.bfloat16)
             return sample_patch(compact, wy, wx)             # [N, win, win]
 
         def body(delta):
