@@ -149,18 +149,27 @@ def build_normal_equations(prob: BAProblem, huber_delta: float,
     b_p = -jnp.einsum("mnik,mni->mk", Jp, rw)
 
     idx = jnp.clip(prob.obs_lm, 0, P - 1)
-    slot = jnp.where(mask, idx, P)  # P = dropped
+    slot = jnp.where(mask, idx, P)  # P = all-zero one-hot row (dropped)
     Hl_contrib = jnp.einsum("mnik,mnil->mnkl", Jl, Jl)
     bl_contrib = -jnp.einsum("mnik,mni->mnk", Jl, rw)
-    H_ll = jnp.zeros((P, 3, 3), r.dtype).at[slot.reshape(-1)].add(
-        Hl_contrib.reshape(-1, 3, 3), mode="drop")
-    b_l = jnp.zeros((P, 3), r.dtype).at[slot.reshape(-1)].add(
-        bl_contrib.reshape(-1, 3), mode="drop")
+    # Landmark-slot accumulation as ONE-HOT MATMULS, not scatter-adds: XLA
+    # lowers scatter on TPU to a serialized loop (~ms at this size, and it
+    # was the dominant cost of the whole LM iteration), while the identical
+    # segment-sum phrased as [P, M*N] x [M*N, k] runs on the MXU in tens of
+    # microseconds. bf16 one-hot is exact (0/1); accumulation is f32.
+    M = prob.T_cw.shape[0]
+    N = slot.shape[1]
+    onehot = (slot[..., None] == jnp.arange(P)).astype(jnp.bfloat16)  # [M,N,P]
+    lm_flat = jnp.concatenate(
+        [Hl_contrib.reshape(M, N, 9), bl_contrib], -1)    # [M, N, 12]
+    acc = jnp.einsum("mnp,mnk->pk", onehot, lm_flat,
+                     preferred_element_type=jnp.float32)
+    H_ll = acc[:, :9].reshape(P, 3, 3)
+    b_l = acc[:, 9:]
 
     W_contrib = jnp.einsum("mnik,mnil->mnkl", Jp, Jl)  # [M, N, 6, 3]
-    M = prob.T_cw.shape[0]
-    W = jnp.zeros((M, P, 6, 3), r.dtype)
-    W = W.at[jnp.arange(M)[:, None], slot].add(W_contrib, mode="drop")
+    W = jnp.einsum("mnp,mnk->mpk", onehot, W_contrib.reshape(M, N, 18),
+                   preferred_element_type=jnp.float32).reshape(M, P, 6, 3)
 
     cost = _cost(jnp.where(mask[..., None], r, 0.0), huber_delta)
     if psum_axis is not None:

@@ -113,6 +113,16 @@ class FrontendConfig:
     # Map capacities
     max_landmarks: int = 16384
     max_keyframes: int = 64
+    # Persist descriptor banks + kdb observation snapshots in the map.
+    # Required by relocalization (landmark descriptor bank) and loop
+    # closure (kf_desc ring + kdb place-recognition snapshots); NOT used by
+    # the plain tracking path, whose only descriptor consumer is
+    # last_kf_desc (kept regardless). Turning this off shrinks the per-lane
+    # map pytree from ~33 MB to ~2.7 MB, which is pure profit on TPU: every
+    # lax.cond branch and per-lane select in the batched scan copies the
+    # whole map pytree, so map bytes are a per-FRAME cost, not a capacity
+    # cost. init_carry asserts this is on when reloc/LC are enabled.
+    store_descriptors: bool = True
     # Persistent keyframe database (pose + summary descriptor + a compact
     # observation subset per keyframe) — outlives the ring, so loops longer
     # than max_keyframes can still be recognized, verified, and closed, and

@@ -94,6 +94,12 @@ def _empty_features(fcfg) -> Features:
 def init_carry(cfg: VOConfig, image_shape: tuple[int, int],
                seed: int = 0) -> VOCarry:
     fcfg = cfg.frontend
+    if not fcfg.store_descriptors:
+        if cfg.backend.enable_loop_closure or cfg.tracker.enable_relocalization:
+            raise ValueError(
+                "store_descriptors=False strips the descriptor banks the "
+                "loop-closure / relocalization paths read; enable it for "
+                "those features")
     nt = min(fcfg.max_track_points, fcfg.max_features)
     zero_img = jnp.zeros(image_shape, jnp.float32)
     return VOCarry(
@@ -810,9 +816,30 @@ class BatchedDeviceMonoVO:
                             "n_inliers": int(np.asarray(
                                 outs.lc.n_inliers)[b, i])}))
 
-    def process_chunk(self, frames_b) -> None:
-        """frames_b: [B, C, H, W] (C <= chunk; uint8 preferred)."""
+    def put_chunk(self, frames_b):
+        """Stage a [B, C, H, W] chunk on device asynchronously (returns a
+        jax.Array immediately; the copy proceeds in the background). Feed
+        the result to process_chunk to overlap host->device frame transfer
+        with compute — over a tunneled device the synchronous per-chunk
+        transfer otherwise serializes with everything (measured 93 MB/chunk
+        at tunnel bandwidth ~ the whole compute budget). Chunks shorter
+        than `chunk` are zero-padded on device."""
         import numpy as np
+        f = np.ascontiguousarray(np.asarray(frames_b))
+        x = jax.device_put(f)
+        n = f.shape[1]
+        if n != self.chunk:
+            x = jnp.pad(x, ((0, 0), (0, self.chunk - n), (0, 0), (0, 0)))
+        return x, n
+
+    def process_chunk(self, frames_b, n_real: int | None = None) -> None:
+        """frames_b: [B, C, H, W] (C <= chunk; uint8 preferred) — numpy, or
+        a device array from put_chunk (then pass its n_real)."""
+        import numpy as np
+        if isinstance(frames_b, jax.Array):
+            return self._process_device(frames_b,
+                                        frames_b.shape[1] if n_real is None
+                                        else n_real)
         f = np.asarray(frames_b)
         n = f.shape[1]
         if not self._all_tracking:
@@ -853,6 +880,36 @@ class BatchedDeviceMonoVO:
                 self._frame_idx += m
             return
         self._frame_idx += n
+
+    def _process_device(self, fdev, n: int) -> None:
+        """Device-resident chunk path (see put_chunk): fdev [B, chunk, H, W]
+        already on device (zero-padded), n = real frames."""
+        import numpy as np
+        if not self._all_tracking:
+            self.carry, outs = combined_scan_batched(
+                self.carry, fdev, jnp.int32(n), self.K, self.cfg,
+                self.image_shape, d=self.d)
+            outs = jax.device_get(outs)
+            self._record(jax.tree.map(lambda x: x[:, :n], outs), n)
+            modes = np.asarray(outs.mode)[:, n - 1]
+            self._all_tracking = bool((modes >= MODE_TRACKING).all())
+            self._frame_idx += n
+            return
+        bcfg = self.cfg.backend
+        chunk_ba = bcfg.enable_local_ba and not bcfg.batched_inscan_ba
+        E = min(bcfg.ba_every_frames, self.chunk) if chunk_ba else self.chunk
+        for i in range(0, n, E):
+            m = min(E, n - i)
+            fsub = fdev if (i == 0 and E == self.chunk) else fdev[:, i:i + E]
+            if fsub.shape[1] < E:       # tail of the padded buffer
+                fsub = jnp.pad(fsub, ((0, 0), (0, E - fsub.shape[1]),
+                                      (0, 0), (0, 0)))
+            self.carry, outs = track_scan_batched(
+                self.carry, fsub, jnp.int32(m), self.K, self.cfg, d=self.d)
+            if chunk_ba:
+                self.carry = batched_local_ba(self.carry, self.K, self.cfg)
+            self._pending.append((self._frame_idx, m, outs))
+            self._frame_idx += m
 
     def finalize(self) -> None:
         import numpy as np
@@ -965,6 +1022,52 @@ class DeviceMonoVO:
         out = np.zeros((self.chunk,) + self.image_shape, f_np.dtype)
         out[:n] = f_np
         return out
+
+    def put_chunk(self, frames):
+        """Stage a [C <= chunk, H, W] chunk on device asynchronously (see
+        BatchedDeviceMonoVO.put_chunk). Returns (device array padded to
+        `chunk`, n_real)."""
+        import numpy as np
+        f = np.ascontiguousarray(np.asarray(frames))
+        x = jax.device_put(f)
+        n = f.shape[0]
+        if n != self.chunk:
+            x = jnp.pad(x, ((0, self.chunk - n), (0, 0), (0, 0)))
+        return x, n
+
+    def process_staged(self, fdev, n: int):
+        """Device-resident counterpart of process_chunk for put_chunk
+        output; the transition chunk's tail replays through track_scan by
+        device-side slicing (no host copy)."""
+        import numpy as np
+        if not self._tracking:
+            self.carry, outs = init_scan(self.carry, fdev, jnp.int32(n),
+                                         self.K, self.cfg, self.image_shape)
+            outs = jax.device_get(outs)
+            modes = np.asarray(outs.mode)[:n]
+            if (modes >= MODE_TRACKING).any():
+                t0 = int(np.argmax(modes >= MODE_TRACKING)) + 1
+                self._record(jax.tree.map(lambda x: x[:t0], outs), 0)
+                self._tracking = True
+                if t0 < n:
+                    rest = jnp.roll(fdev, -t0, axis=0)  # tail to the front
+                    self.carry, outs2 = track_scan(
+                        self.carry, rest, jnp.int32(n - t0), self.K,
+                        self.cfg, d=self.d)
+                    outs2 = jax.tree.map(lambda x: x[:n - t0],
+                                         jax.device_get(outs2))
+                    self._record(outs2, t0)
+            else:
+                self._record(jax.tree.map(lambda x: x[:n], outs), 0)
+        else:
+            self.carry, outs = track_scan(self.carry, fdev, jnp.int32(n),
+                                          self.K, self.cfg, d=self.d)
+            if self.sync:
+                o = jax.tree.map(lambda x: x[:n], jax.device_get(outs))
+                self._record(o, 0)
+            else:
+                self._pending.append((self._frame_idx, n, outs))
+        self._frame_idx += n
 
     def _process_fixed(self, f_np) -> VOStepOut:
         """Run one fixed-size (padded) chunk of n real frames."""

@@ -79,9 +79,16 @@ def empty_map(cfg: FrontendConfig) -> MapState:
     L, Kmax, N, B = (cfg.max_landmarks, cfg.max_keyframes,
                      cfg.max_features, cfg.descriptor_bits)
     KL, C = cfg.max_keyframe_log, cfg.kdb_obs
+    # Bank width Bd / kdb obs count C drop to zero when descriptors are not
+    # stored: the tracking path never reads them (last_kf_desc — kept at
+    # full width — is the only hot descriptor consumer), and map bytes are
+    # a per-frame copy cost in the scan (see
+    # FrontendConfig.store_descriptors).
+    Bd = B if cfg.store_descriptors else 0
+    C = C if cfg.store_descriptors else 0
     return MapState(
         lm_xyz=jnp.zeros((L, 3), jnp.float32),
-        lm_desc=jnp.zeros((L, B), jnp.int8),
+        lm_desc=jnp.zeros((L, Bd), jnp.int8),
         lm_valid=jnp.zeros((L,), bool),
         lm_count=jnp.int32(0),
         kf_pose_wc=jnp.tile(jnp.eye(4, dtype=jnp.float32), (Kmax, 1, 1)),
@@ -90,15 +97,15 @@ def empty_map(cfg: FrontendConfig) -> MapState:
         kf_obs_valid=jnp.zeros((Kmax, N), bool),
         kf_valid=jnp.zeros((Kmax,), bool),
         kf_count=jnp.int32(0),
-        kf_desc=jnp.zeros((Kmax, N, B), jnp.int8),
+        kf_desc=jnp.zeros((Kmax, N, Bd), jnp.int8),
         last_kf_desc=jnp.zeros((N, B), jnp.float32),
         last_kf_desc_valid=jnp.zeros((N,), bool),
         kdb_pose_wc=jnp.tile(jnp.eye(4, dtype=jnp.float32), (KL, 1, 1)),
-        kdb_summary=jnp.zeros((KL, B), jnp.float32),
+        kdb_summary=jnp.zeros((KL, Bd), jnp.float32),
         kdb_uv=jnp.zeros((KL, C, 2), jnp.float32),
         kdb_lm_id=jnp.full((KL, C), -1, jnp.int32),
         kdb_xyz=jnp.zeros((KL, C, 3), jnp.float32),
-        kdb_desc=jnp.zeros((KL, C, B), jnp.int8),
+        kdb_desc=jnp.zeros((KL, C, Bd), jnp.int8),
         kdb_obs_valid=jnp.zeros((KL, C), bool),
         kdb_valid=jnp.zeros((KL,), bool),
     )
@@ -183,7 +190,9 @@ def allocate_landmarks(m: MapState, xyz: jnp.ndarray, desc: jnp.ndarray,
     ok = ids >= 0
     slot = jnp.where(ok, ids, L)  # L = scatter-to-void via mode="drop"
     lm_xyz = m.lm_xyz.at[slot].set(xyz, mode="drop")
-    lm_desc = m.lm_desc.at[slot].set(desc.astype(jnp.int8), mode="drop")
+    # bank may be zero-width (store_descriptors=False) — slice to fit
+    lm_desc = m.lm_desc.at[slot].set(
+        desc[..., :m.lm_desc.shape[1]].astype(jnp.int8), mode="drop")
     lm_valid = m.lm_valid.at[slot].set(True, mode="drop")
     return m._replace(lm_xyz=lm_xyz, lm_desc=lm_desc, lm_valid=lm_valid,
                       lm_count=jnp.sum(lm_valid.astype(jnp.int32))), ids
@@ -222,6 +231,9 @@ def add_keyframe(m: MapState, pose_wc: jnp.ndarray, uv: jnp.ndarray,
                                  jnp.zeros((C - n,), order.dtype)])
     sel_ids = jnp.clip(lm_id[order], 0, L - 1)
 
+    # descriptor banks / kdb snapshots may be zero-width
+    # (store_descriptors=False) — slice every write to the stored width
+    Bd = m.kf_desc.shape[-1]
     return m._replace(
         kf_pose_wc=m.kf_pose_wc.at[slot].set(pose_wc),
         kf_uv=m.kf_uv.at[slot].set(uv),
@@ -229,17 +241,19 @@ def add_keyframe(m: MapState, pose_wc: jnp.ndarray, uv: jnp.ndarray,
         kf_obs_valid=m.kf_obs_valid.at[slot].set(obs_valid),
         kf_valid=m.kf_valid.at[slot].set(True),
         kf_count=m.kf_count + 1,
-        kf_desc=m.kf_desc.at[slot].set(desc.astype(jnp.int8)),
+        kf_desc=m.kf_desc.at[slot].set(desc[:, :Bd].astype(jnp.int8)),
         last_kf_desc=desc,
         last_kf_desc_valid=obs_valid,
         kdb_pose_wc=m.kdb_pose_wc.at[dslot].set(pose_wc),
-        kdb_summary=m.kdb_summary.at[dslot].set(summary),
+        kdb_summary=m.kdb_summary.at[dslot].set(
+            summary[:m.kdb_summary.shape[-1]]),
         kdb_uv=m.kdb_uv.at[dslot].set(uv[order]),
         kdb_lm_id=m.kdb_lm_id.at[dslot].set(
             jnp.where(sel_ok, lm_id[order], -1)),
         kdb_xyz=m.kdb_xyz.at[dslot].set(
             m.lm_xyz[sel_ids] * sel_ok[:, None]),
-        kdb_desc=m.kdb_desc.at[dslot].set(desc[order].astype(jnp.int8)),
+        kdb_desc=m.kdb_desc.at[dslot].set(
+            desc[order][:, :Bd].astype(jnp.int8)),
         kdb_obs_valid=m.kdb_obs_valid.at[dslot].set(sel_ok),
         kdb_valid=m.kdb_valid.at[dslot].set(True),
     )
