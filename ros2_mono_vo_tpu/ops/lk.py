@@ -42,11 +42,11 @@ from ros2_mono_vo_tpu.ops.sampling import (bilinear_weights, onehot_rows,
 # Iteration drift headroom (pixels) inside the next-image patch: full-motion
 # capture at the coarsest level, residual correction at finer levels (the
 # compacted patch — and every per-iteration sampling matmul over it — shrinks
-# with the headroom). Fine levels start from a 2x-upsampled coarser flow, so
-# the residual they must absorb is a couple of px; 5 px headroom keeps the
-# compact patch at 33^2 instead of 39^2 (the per-GN-iteration matmul area).
+# with the headroom). Measured on the 25-px-translation oracle test:
+# drift 5-6 at fine levels clips enough late-converging points to drop the
+# good-flow fraction below OpenCV parity — 8 px is the working floor.
 _DRIFT = 13
-_DRIFT_FINE = 5
+_DRIFT_FINE = 8
 # Patch lane width (multiple of 128 >= win + 1 + 127).
 _PW = 256
 
@@ -64,15 +64,23 @@ def build_lk_pyramid(image: jnp.ndarray, levels: int) -> tuple[jnp.ndarray, ...]
     Pooling is a (2, 2)-window reduce_window — stride-2 SLICING of an [H, W]
     image lowers to ~6 ms of strided-copy HLO on TPU, while the identical
     reduce_window runs in ~30 us (measured; same trap as lax.conv, see
-    ops/features._sep_filter)."""
-    out = [image]
-    img = image
+    ops/features._sep_filter).
+
+    Levels are stored bf16: level 0 holds uint8-derived integers (EXACT in
+    bf16's 8 significand bits — the final, full-resolution GN refinement
+    sees bit-identical pixels), coarser levels round their 4-pixel averages
+    at ~0.25-0.5 intensity, below image noise and only used for the initial
+    flow guess. Halves the pyramid's carry footprint, the per-frame select
+    traffic, and every patch DMA in the tracker; pooling itself accumulates
+    in f32."""
+    out = [image.astype(jnp.bfloat16)]
+    img = image.astype(jnp.float32)
     for _ in range(levels - 1):
         h, w = img.shape
         img = img[: h - h % 2, : w - w % 2]
         img = jax.lax.reduce_window(img, 0.0, jax.lax.add, (2, 2), (2, 2),
                                     "VALID") * 0.25
-        out.append(img)
+        out.append(img.astype(jnp.bfloat16))
     return tuple(out)
 
 
@@ -90,7 +98,10 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
     """
     r = win // 2
     ext = win + 2                        # window + gradient halo
-    ph_prev = _ceil_to(ext + 1 + 7, 8)   # + bilinear tap + alignment slack
+    # bf16 pyramids need 16-row DMA alignment (Mosaic bf16 tile = (16, 128));
+    # f32 inputs keep the 8-row grid. Alignment slack = sub - 1 rows.
+    sub = 16 if prev_pyr[0].dtype == jnp.bfloat16 else 8
+    ph_prev = _ceil_to(ext + 1 + sub - 1, sub)  # + bilinear tap + align slack
     min_eig_thresh = 1e-4 * (win * win)
 
     n = uv.shape[0]
@@ -100,12 +111,12 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
 
     for li in range(levels - 1, -1, -1):
         drift = _DRIFT if li == levels - 1 else _DRIFT_FINE
-        ph_next = _ceil_to(win + 2 * drift + 2 + 7, 8)
+        ph_next = _ceil_to(win + 2 * drift + 2 + sub - 1, sub)
         pc = win + 2 * drift + 2         # compacted next patch (y-slack gone)
         prev_img = prev_pyr[li]
         next_img = next_pyr[li]
         h, w = prev_img.shape
-        hp, wp = max(_ceil_to(h, 8), ph_next), max(_ceil_to(w, 128), _PW)
+        hp, wp = max(_ceil_to(h, sub), ph_next), max(_ceil_to(w, 128), _PW)
         prev_p = jnp.pad(prev_img, ((0, hp - h), (0, wp - w)))
         next_p = jnp.pad(next_img, ((0, hp - h), (0, wp - w)))
         scale = float(2 ** li)
@@ -115,7 +126,7 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
         des_prev = jnp.stack(
             [jnp.floor(uv_l[:, 1]) - (r + 1), jnp.floor(uv_l[:, 0]) - (r + 1)],
             -1).astype(jnp.int32)
-        o_prev = aligned_origins(des_prev, hp, wp, ph_prev, _PW)
+        o_prev = aligned_origins(des_prev, hp, wp, ph_prev, _PW, sub=sub)
         patches_prev = extract_patches(prev_p, o_prev, ph_prev, _PW)
         local_py = uv_l[:, 1] - o_prev[:, 0]       # float in [r+1, r+9)
         local_px = uv_l[:, 0] - o_prev[:, 1]
@@ -129,8 +140,7 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
             jnp.bfloat16)
         wx_p = bilinear_weights(local_px[:, None] + offs_ext, _PW).astype(
             jnp.bfloat16)
-        ext_win = sample_patch(patches_prev.astype(jnp.bfloat16), wy_p,
-                               wx_p)                         # [N, ext, ext]
+        ext_win = sample_patch(patches_prev, wy_p, wx_p)     # [N, ext, ext]
         iw = ext_win[:, 1:-1, 1:-1]
         gyw = 0.5 * (ext_win[:, 2:, 1:-1] - ext_win[:, :-2, 1:-1])
         gxw = 0.5 * (ext_win[:, 1:-1, 2:] - ext_win[:, 1:-1, :-2])
@@ -152,7 +162,7 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
         des_next = jnp.stack(
             [jnp.floor(guess[:, 1]) - (r + drift),
              jnp.floor(guess[:, 0]) - (r + drift)], -1).astype(jnp.int32)
-        o_next = aligned_origins(des_next, hp, wp, ph_next, _PW)
+        o_next = aligned_origins(des_next, hp, wp, ph_next, _PW, sub=sub)
         patches_next = extract_patches(next_p, o_next, ph_next, _PW)
         used = jnp.stack(
             [jnp.clip(des_next[:, 0], 0, max(hp - pc, 0)),
@@ -197,17 +207,13 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
         # UNROLLED (static trip count): a lax.fori_loop body of tiny batched
         # matmuls pays per-iteration loop overhead; unrolling lets XLA fuse
         # and pipeline across iterations. The error sample is only needed
-        # where it is consumed (level 0).
-        #
-        # Per-level schedule: the coarsest level does the full `iters` (its
-        # GN starts from zero flow and must capture the whole motion); finer
-        # levels start from the 2x-upsampled coarser estimate and only
-        # polish a sub-pixel residual — measured convergence is 3-5
-        # iterations, so they run iters-4 (>=3). This cuts the dominant
-        # per-iteration sampling matmuls by ~35% with no measured ATE change.
-        it_l = iters if li == levels - 1 else max(3, iters - 4)
+        # where it is consumed (level 0). All levels run the full `iters`:
+        # per-level iteration cuts were measured to break large-motion
+        # convergence (each mid level must hand a SUB-PIXEL residual to the
+        # next or the error doubles per level — 25-px oracle test drops
+        # from 100% to 79% good flow with mid levels at 6 iterations).
         delta = jnp.zeros_like(flow)
-        for _ in range(it_l):
+        for _ in range(iters):
             delta = body(delta)
         if li == 0:
             jw = sample_next(delta)

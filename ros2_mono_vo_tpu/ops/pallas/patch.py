@@ -138,11 +138,14 @@ def extract_patches(image: jnp.ndarray, origins: jnp.ndarray, ph: int,
 
 
 def aligned_origins(desired: jnp.ndarray, h_pad: int, w_pad: int,
-                    ph: int, pw: int) -> jnp.ndarray:
+                    ph: int, pw: int, sub: int = 8) -> jnp.ndarray:
     """Clamp desired (y, x) origins into the padded image, then align down
-    to the (8, 128) DMA grid. Returns int32 [N, 2] satisfying the kernel's
-    alignment contract; remainder = desired_clamped - aligned is recovered
-    by the caller from these values."""
+    to the (sub, 128) DMA grid — sub = 8 for f32 tiles, 16 for bf16
+    (Mosaic tiled-memref sublane granularity per dtype). Returns int32
+    [N, 2] satisfying the kernel's alignment contract; remainder =
+    desired_clamped - aligned is recovered by the caller from these
+    values."""
     y = jnp.clip(desired[..., 0], 0, max(h_pad - ph, 0))
     x = jnp.clip(desired[..., 1], 0, max(w_pad - pw, 0))
-    return jnp.stack([(y // 8) * 8, (x // 128) * 128], -1).astype(jnp.int32)
+    return jnp.stack([(y // sub) * sub, (x // 128) * 128],
+                     -1).astype(jnp.int32)

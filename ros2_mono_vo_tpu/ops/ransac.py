@@ -402,20 +402,54 @@ def _pnp_residual_jacobian(R, t, X, uv, K):
     return r, J
 
 
+def _solve6_spd(H, g):
+    """6x6 SPD solve via unrolled Cholesky: fuses into the surrounding GN
+    graph instead of dispatching a LAPACK-style custom call per iteration
+    (the GN loop runs ~tens of times per frame in the hot path)."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        s = H[i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.clip(s, 1e-12, None))
+        for j in range(i + 1, 6):
+            s = H[j, i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s / L[i][i]
+    # forward substitution L y = g
+    y = [None] * 6
+    for i in range(6):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * 6
+    for i in range(5, -1, -1):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _pnp_gauss_newton(R, t, X, uv, K, w, iters: int):
-    """Masked GN refinement of (R, t) on weighted correspondences."""
-    def body(_, Rt):
-        R, t = Rt
+    """Masked GN refinement of (R, t) on weighted correspondences.
+
+    UNROLLED (static trip count): the body is a chain of small batched ops;
+    unrolling lets XLA fuse across iterations instead of paying fori_loop
+    dispatch + a linear-solve custom call per iteration."""
+    for _ in range(iters):
         r, J = _pnp_residual_jacobian(R, t, X, uv, K)
         ww = w[..., None]
         H = jnp.einsum("nik,nil->kl", J * ww[..., None], J)
         g = jnp.einsum("nik,ni->k", J, r * ww)
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
-        xi = -jnp.linalg.solve(H, g)
+        xi = -_solve6_spd(H, g)
         dR = so3_exp(xi[3:])
-        return dR @ R, (dR @ t[..., None])[..., 0] + xi[:3]
-
-    return jax.lax.fori_loop(0, iters, body, (R, t))
+        R, t = dR @ R, (dR @ t[..., None])[..., 0] + xi[:3]
+    return R, t
 
 
 def pnp_reprojection_error(R, t, X, uv, K):
@@ -453,16 +487,14 @@ def solve_pnp_ransac(K, X, uv, valid, reproj_thresh, key,
     # for one extra near-threshold inlier.
     delta = reproj_thresh / 4.0
 
-    def round_(carry, _):
-        R, t, w = carry
-        R2, t2 = _pnp_gauss_newton(R, t, X, uv, K, w, refine_iters)
-        err2 = pnp_reprojection_error(R2, t2, X, uv, K)
+    R_ref, t_ref, w = R_b, t_b, inliers.astype(X.dtype)
+    for _ in range(3):        # unrolled (see _pnp_gauss_newton)
+        R_ref, t_ref = _pnp_gauss_newton(R_ref, t_ref, X, uv, K, w,
+                                         refine_iters)
+        err2 = pnp_reprojection_error(R_ref, t_ref, X, uv, K)
         mask2 = (err2 < reproj_thresh) & valid
-        w2 = mask2 * jnp.minimum(1.0, delta / jnp.clip(err2, 1e-6, None))
-        return (R2, t2, w2.astype(X.dtype)), None
-
-    (R_ref, t_ref, _), _ = jax.lax.scan(
-        round_, (R_b, t_b, inliers.astype(X.dtype)), None, length=3)
+        w = (mask2 * jnp.minimum(1.0, delta / jnp.clip(err2, 1e-6, None))
+             ).astype(X.dtype)
     err_ref = pnp_reprojection_error(R_ref, t_ref, X, uv, K)
     inl_ref = (err_ref < reproj_thresh) & valid
     better = (_msac_score(err_ref, valid, reproj_thresh)
