@@ -105,11 +105,13 @@ class FrontendConfig:
     # Frame-to-frame tracking slot capacity. Only landmark-bearing
     # observations are LK-tracked (reference tracker.cpp:61-62 filters
     # WITH_LANDMARKS); their count is bounded by last-keyframe matches and
-    # is typically 200-500 of the 1000 detected features, so a smaller slot
-    # bank halves every per-point cost in the hot path (LK sampling, PnP
-    # scoring). When more survive, the lowest-slot subset is kept —
-    # divergence from the reference's unbounded vector, documented here.
-    max_track_points: int = 512
+    # measures ~200-260 of the 1000 detected features on KITTI-like scenes
+    # (512 slots ran at ~43% occupancy), so a 256 bank halves every
+    # per-point cost in the hot path (LK sampling, PnP scoring) at the
+    # cost of dropping overflow beyond 256 in feature-dense scenes. When
+    # more survive, the lowest-slot subset is kept — divergence from the
+    # reference's unbounded vector, documented here.
+    max_track_points: int = 256
     # Map capacities
     max_landmarks: int = 16384
     max_keyframes: int = 64

@@ -145,7 +145,9 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
         gyw = 0.5 * (ext_win[:, 2:, 1:-1] - ext_win[:, :-2, 1:-1])
         gxw = 0.5 * (ext_win[:, 1:-1, 2:] - ext_win[:, 1:-1, :-2])
 
-        # spatial gradient matrix + inverse (2x2 closed form)
+        # spatial gradient matrix + inverse (2x2 closed form) — computed in
+        # f32 BEFORE the loop tensors narrow to bf16 below (the inverse is
+        # the one quantity where gradient rounding compounds)
         a11 = jnp.sum(gxw * gxw, (-2, -1))
         a12 = jnp.sum(gxw * gyw, (-2, -1))
         a22 = jnp.sum(gyw * gyw, (-2, -1))
@@ -156,6 +158,16 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
         invertible = min_eig > min_eig_thresh
         dets = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
         i11, i12, i22 = a22 / dets, -a12 / dets, a11 / dets
+
+        # The GN loop is pure HBM bandwidth on lane-padded [N, 21, *]
+        # tensors (measured: per-iteration cost tracks bytes, not FLOPs) —
+        # narrow every loop-resident tensor to bf16. Products quantize at
+        # ~0.4%; b1/b2 still accumulate in f32 (sum dtype), and the
+        # template/gradients only steer the iteration, whose fixed point is
+        # where |di| is minimal on the REAL image data.
+        iw = iw.astype(jnp.bfloat16)
+        gxw16 = gxw.astype(jnp.bfloat16)
+        gyw16 = gyw.astype(jnp.bfloat16)
 
         # ---- next: aligned gather + integer compaction to [N, pc, pc] ----
         guess = uv_l + flow
@@ -187,20 +199,24 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
 
         def sample_next(delta):
             # hat weights quantize to bf16 (~2^-8 of a pixel per tap) —
-            # far below the GN convergence scale
+            # far below the GN convergence scale. (Measured: merging the
+            # two weight builds into one stacked [N, 2, win, pc] op makes
+            # the loop 50% SLOWER — the non-minor-axis slices feeding the
+            # matmuls force relayout copies. Keep the two plain builds.)
             wy = bilinear_weights(
                 (loc0_y + delta[:, 1])[:, None] + offs_win, pc).astype(
                 jnp.bfloat16)
             wx = bilinear_weights(
                 (loc0_x + delta[:, 0])[:, None] + offs_win, pc).astype(
                 jnp.bfloat16)
-            return sample_patch(compact, wy, wx)             # [N, win, win]
+            return sample_patch(compact, wy, wx,
+                                out_dtype=jnp.bfloat16)      # [N, win, win]
 
         def body(delta):
             jw = sample_next(delta)
             di = jw - iw
-            b1 = jnp.sum(di * gxw, (-2, -1))
-            b2 = jnp.sum(di * gyw, (-2, -1))
+            b1 = jnp.sum(di * gxw16, (-2, -1), dtype=jnp.float32)
+            b2 = jnp.sum(di * gyw16, (-2, -1), dtype=jnp.float32)
             dv = jnp.stack([i11 * b1 + i12 * b2, i12 * b1 + i22 * b2], -1)
             return delta - dv
 
@@ -217,7 +233,8 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
             delta = body(delta)
         if li == 0:
             jw = sample_next(delta)
-            err_l = jnp.mean(jnp.abs(jw - iw), (-2, -1))
+            err_l = jnp.mean(jnp.abs(jw - iw), (-2, -1),
+                             dtype=jnp.float32)
 
         tracked = uv_l + flow + delta
         inside = ((tracked[:, 0] >= r) & (tracked[:, 0] < w - r)

@@ -31,15 +31,20 @@ def onehot_rows(start: jnp.ndarray, count: int, size: int) -> jnp.ndarray:
     return (k[None, None, :] == idx).astype(jnp.float32)
 
 
-def sample_patch(patch: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray):
+def sample_patch(patch: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray,
+                 out_dtype=None):
     """patch [N, H, W], wy [N, S, H], wx [N, T, W] -> [N, S, T].
 
     Contract the wide lane axis first (the big matmul), rows second.
+    Accumulation is always f32 on the MXU; `out_dtype` (e.g. bf16) fuses a
+    narrowing convert into the epilogue so bandwidth-bound callers halve
+    the output stream.
     """
     tmp = jnp.einsum("nhw,ntw->nht", patch, wx,
                      preferred_element_type=jnp.float32)
-    return jnp.einsum("nsh,nht->nst", wy, tmp,
-                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("nsh,nht->nst", wy, tmp,
+                     preferred_element_type=jnp.float32)
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 def sample_points(patch: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray):
