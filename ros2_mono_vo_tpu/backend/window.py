@@ -31,14 +31,22 @@ class WindowInfo(NamedTuple):
     #   (ADVICE round-3 #3)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "capacity"))
+@functools.partial(jax.jit, static_argnames=("window", "capacity", "obs_cap"))
 def extract_window(m: MapState, K: jnp.ndarray, window: int,
-                   capacity: int) -> tuple[BAProblem, WindowInfo]:
+                   capacity: int,
+                   obs_cap: int | None = None) -> tuple[BAProblem, WindowInfo]:
     """Build a fixed-shape BAProblem from the last `window` keyframes.
 
     Landmarks observed in the window are ranked into `capacity` local slots
     (overflow dropped — masked, never shape-changing). The two oldest window
     poses are gauge-fixed (monocular 7-dof gauge freedom: 6 pose + scale).
+
+    `obs_cap` compacts each keyframe's landmark-bearing observations into
+    the first obs_cap slots (valid-first stable ordering): the keyframe
+    grid is max_features (1024) wide but only ~300-500 slots carry
+    landmarks, and every per-observation tensor in the LM iteration
+    ([M, N, 2, 6] Jacobians, the [M, N, P] one-hot assembly) scales with
+    the grid width. Overflow beyond obs_cap is dropped (masked).
     """
     kmax = m.kf_valid.shape[0]
     L = m.lm_valid.shape[0]
@@ -50,6 +58,13 @@ def extract_window(m: MapState, K: jnp.ndarray, window: int,
     obs_ok = m.kf_obs_valid[slots] & (ids >= 0) & kf_mask[:, None]
     ids_c = jnp.clip(ids, 0, L - 1)
     obs_ok = obs_ok & m.lm_valid[ids_c]
+
+    obs_uv_m = m.kf_uv[slots]                   # [M, N, 2]
+    if obs_cap is not None and obs_cap < ids.shape[1]:
+        order = jnp.argsort(~obs_ok, axis=1, stable=True)[:, :obs_cap]
+        ids_c = jnp.take_along_axis(ids_c, order, 1)
+        obs_ok = jnp.take_along_axis(obs_ok, order, 1)
+        obs_uv_m = jnp.take_along_axis(obs_uv_m, order[..., None], 1)
 
     present = jnp.zeros((L,), bool).at[
         jnp.where(obs_ok, ids_c, L).reshape(-1)].set(True, mode="drop")
@@ -81,7 +96,7 @@ def extract_window(m: MapState, K: jnp.ndarray, window: int,
         jnp.where(fixed_obs, obs_lm, capacity).reshape(-1)].set(
         True, mode="drop")
 
-    prob = BAProblem(T_cw=T_cw, lm_xyz=lm_xyz, obs_uv=m.kf_uv[slots],
+    prob = BAProblem(T_cw=T_cw, lm_xyz=lm_xyz, obs_uv=obs_uv_m,
                      obs_lm=obs_lm, obs_mask=obs_mask, K=K,
                      pose_fixed=pose_fixed, lm_fixed=lm_fixed)
     return prob, WindowInfo(slots=slots, kf_mask=kf_mask,

@@ -159,6 +159,11 @@ class BackendConfig:
     # batched step at 5 iterations.
     ba_iterations: int = 3
     ba_max_landmarks: int = 2048
+    # Per-keyframe observation grid compaction for the in-engine window
+    # problem (see extract_window obs_cap): ~300-500 of the 1024 feature
+    # slots carry landmarks; every per-observation LM tensor scales with
+    # the grid width.
+    ba_obs_per_kf: int = 512
     # Batched engine BA placement. Default (True): BA runs IN-SCAN at
     # keyframe cadence for exactly the lanes the capped keyframe service
     # just serviced — identical semantics to the solo engine (each

@@ -271,7 +271,8 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
             def ba_go(c):
                 prob, info = extract_window(
                     c.map, K, window=bacfg.ba_window_size,
-                    capacity=bacfg.ba_max_landmarks)
+                    capacity=bacfg.ba_max_landmarks,
+                    obs_cap=bacfg.ba_obs_per_kf)
                 res = bundle_adjust(prob, iterations=bacfg.ba_iterations,
                                     huber_delta=bacfg.huber_delta,
                                     lam0=bacfg.lm_lambda_init,
@@ -502,7 +503,8 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
 
         def one(m):
             prob, info = extract_window(m, K, window=bacfg.ba_window_size,
-                                        capacity=bacfg.ba_max_landmarks)
+                                        capacity=bacfg.ba_max_landmarks,
+                                        obs_cap=bacfg.ba_obs_per_kf)
             res = bundle_adjust(prob, iterations=bacfg.ba_iterations,
                                 huber_delta=bacfg.huber_delta,
                                 lam0=bacfg.lm_lambda_init,
@@ -705,7 +707,8 @@ def batched_local_ba(carry_b: VOCarry, K: jnp.ndarray, cfg: VOConfig):
         last = last_kf_slot(m)
         T_last_old = m.kf_pose_wc[last]
         prob, info = extract_window(m, K, window=bcfg.ba_window_size,
-                                    capacity=bcfg.ba_max_landmarks)
+                                    capacity=bcfg.ba_max_landmarks,
+                                    obs_cap=bcfg.ba_obs_per_kf)
         res = bundle_adjust(prob, iterations=bcfg.ba_iterations,
                             huber_delta=bcfg.huber_delta,
                             lam0=bcfg.lm_lambda_init,
