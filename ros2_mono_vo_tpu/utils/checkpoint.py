@@ -65,8 +65,20 @@ def load_checkpoint(path: str, cfg: VOConfig,
             f"image shape mismatch: {meta['image_shape']} vs {image_shape}")
 
     template = init_carry(cfg, image_shape)
-    _, treedef = jax.tree.flatten(template)
+    tmpl_flat, treedef = jax.tree.flatten(template)
     data = np.load(os.path.join(path, "state.npz"))
-    flat = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
+    flat = []
+    for i, tmpl in enumerate(tmpl_flat):
+        raw = data[f"leaf_{i}"]
+        want = np.dtype(tmpl.dtype)
+        if raw.dtype != want:
+            # npz has no native bfloat16: ml_dtypes leaves round-trip as raw
+            # void bytes (|V2). Same-width dtypes reinterpret losslessly;
+            # anything else (older f32 checkpoints read by a bf16 build) casts.
+            if raw.dtype.itemsize == want.itemsize:
+                raw = raw.view(want)
+            else:
+                raw = raw.astype(want)
+        flat.append(raw)
     carry = jax.tree.unflatten(treedef, flat)
     return carry, meta.get("extra", {})
