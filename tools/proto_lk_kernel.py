@@ -68,25 +68,29 @@ PB = 64   # points per grid program
 
 def _kernel(compact_ref, iw_ref, gxw_ref, gyw_ref, inv_ref, loc_ref,
             out_ref):
+    # Mosaic layout inference aborts on rank-1 vectors AND on rank-changing
+    # reshapes of tiny shapes — so scalar-per-point values ride as
+    # [PB, 1, k] rank-3 tensors end to end: only slices and broadcasts.
     compact = compact_ref[:]                        # [PB, PC, PC] bf16
     iw = iw_ref[:]                                  # [PB, WIN, WIN] f32
     gxw = gxw_ref[:]
     gyw = gyw_ref[:]
-    i11 = inv_ref[:, 0]
-    i12 = inv_ref[:, 1]
-    i22 = inv_ref[:, 2]
-    locx = loc_ref[:, 0]
-    locy = loc_ref[:, 1]
+    i11 = inv_ref[:, :, 0:1]                        # [PB, 1, 1]
+    i12 = inv_ref[:, :, 1:2]
+    i22 = inv_ref[:, :, 2:3]
+    locx = loc_ref[:, :, 0:1]                       # [PB, 1, 1]
+    locy = loc_ref[:, :, 1:2]
     offs = jax.lax.broadcasted_iota(
         jnp.int32, (1, WIN, 1), 1).astype(jnp.float32) - R   # [1, WIN, 1]
     k = jax.lax.broadcasted_iota(
         jnp.int32, (1, 1, PC), 2).astype(jnp.float32)        # [1, 1, PC]
 
-    delta = jnp.zeros((PB, 2), jnp.float32)
+    dx = jnp.zeros((PB, 1, 1), jnp.float32)
+    dy = jnp.zeros((PB, 1, 1), jnp.float32)
 
     for _ in range(ITERS):
-        posy = locy[:, None, None] + delta[:, 1][:, None, None] + offs
-        posx = locx[:, None, None] + delta[:, 0][:, None, None] + offs
+        posy = locy + dy + offs                     # [PB, WIN, 1]
+        posx = locx + dx + offs
         wy = jnp.clip(1.0 - jnp.abs(posy - k), 0.0, 1.0).astype(jnp.bfloat16)
         wx = jnp.clip(1.0 - jnp.abs(posx - k), 0.0, 1.0).astype(jnp.bfloat16)
         tmp = jax.lax.dot_general(
@@ -96,18 +100,30 @@ def _kernel(compact_ref, iw_ref, gxw_ref, gyw_ref, inv_ref, loc_ref,
             wy, tmp, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)     # [PB, WIN, WIN]
         di = jw - iw
-        b1 = jnp.sum(di * gxw, (-2, -1))
-        b2 = jnp.sum(di * gyw, (-2, -1))
-        dv = jnp.stack([i11 * b1 + i12 * b2, i12 * b1 + i22 * b2], -1)
-        delta = delta - dv
-    out_ref[:] = delta
+        # Frobenius inner products <di, g> as two chained matmuls against a
+        # ones vector — jnp.sum(keepdims) lowers to reduce+reshape, which
+        # Mosaic's layout inference rejects at these shapes.
+        ones_t = jnp.ones((PB, WIN, 1), jnp.float32)
+        rx = jax.lax.dot_general(di * gxw, ones_t,
+                                 (((2,), (1,)), ((0,), (0,))))  # [PB, WIN, 1]
+        ry = jax.lax.dot_general(di * gyw, ones_t,
+                                 (((2,), (1,)), ((0,), (0,))))
+        b1 = jax.lax.dot_general(rx, ones_t,
+                                 (((1,), (1,)), ((0,), (0,))))  # [PB, 1, 1]
+        b2 = jax.lax.dot_general(ry, ones_t,
+                                 (((1,), (1,)), ((0,), (0,))))
+        dx = dx - (i11 * b1 + i12 * b2)
+        dy = dy - (i12 * b1 + i22 * b2)
+    out_ref[:, :, 0:1] = dx
+    out_ref[:, :, 1:2] = dy
 
 
 @jax.jit
 def gn_pallas(compact, iw, gxw, gyw, i11, i12, i22, loc0):
-    inv = jnp.stack([i11, i12, i22], -1)
+    inv = jnp.stack([i11, i12, i22], -1)[:, None, :]   # [N, 1, 3]
+    loc3 = loc0[:, None, :]                            # [N, 1, 2]
     grid = N // PB
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid=(grid,),
         in_specs=[
@@ -119,13 +135,16 @@ def gn_pallas(compact, iw, gxw, gyw, i11, i12, i22, loc0):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PB, WIN, WIN), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PB, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PB, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, 1, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((PB, 2), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((PB, 1, 2), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, 2), jnp.float32),
-    )(compact, iw, gxw, gyw, inv, loc0)
+        out_shape=jax.ShapeDtypeStruct((N, 1, 2), jnp.float32),
+    )(compact, iw, gxw, gyw, inv, loc3)
+    return out[:, 0, :]
 
 
 def main():
