@@ -9,8 +9,9 @@ XLA gathers (which lower to a serial scalar loop on TPU — ~1 s/frame
 measured). Instead, each pyramid level does
 
   1. one tile-aligned Pallas DMA gather per image lifting a patch around
-     every point (`ops/pallas/patch.py`): prev [N, 32, 256] with the window +
-     gradient halo, next [N, 56, 256] with +-13 px of iteration headroom;
+     every point (`ops/pallas/patch.py`): prev [N, 48, 128] with the window +
+     gradient halo, next [N, 64, 128] with +-13 px of iteration headroom
+     (128-wide patches via the dual-copy pyramid — see _PW);
   2. all bilinear window sampling inside those patches as batched one-hot
      MATMULS (separable row/column weight matrices, two MXU contractions per
      sample pass) — dense, fused, zero gathers. Central differences of the
@@ -34,8 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ros2_mono_vo_tpu.ops.pallas.patch import (extract_patches,
-                                               aligned_origins)
+from ros2_mono_vo_tpu.ops.pallas.patch import extract_patches_multi
 from ros2_mono_vo_tpu.ops.sampling import (bilinear_weights, onehot_rows,
                                            sample_patch)
 
@@ -47,14 +47,31 @@ from ros2_mono_vo_tpu.ops.sampling import (bilinear_weights, onehot_rows,
 # good-flow fraction below OpenCV parity — 8 px is the working floor.
 _DRIFT = 13
 _DRIFT_FINE = 8
-# Patch lane width (multiple of 128 >= win + 1 + 127).
-_PW = 256
+# Patch lane width. 128 (not 256) thanks to the dual-copy pyramid: each
+# level stores the image AND a 64-column-left-shifted copy, so every <=65
+# column window lies inside a 128-aligned span of one of the two (if the
+# window crosses a 128 boundary in the base copy, it sits >=63 columns from
+# the boundary in the shifted one). Per-point source selection rides the
+# patch DMA's scalar-prefetch image index; halves the gather bytes and every
+# lane-wide sampling matmul vs the single-copy 256-wide layout.
+_PW = 128
+_SHIFT = 64
 
 
 class FlowResult(NamedTuple):
     uv: jnp.ndarray      # [N, 2] tracked (x, y) at level 0
     status: jnp.ndarray  # [N] bool
     err: jnp.ndarray     # [N] mean |dI| over the final window
+
+
+def _dual(img16: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] -> [2, H, W]: the image plus a 64-column-left-shifted copy
+    (shifted[:, x] = img[:, x + 64]; last 64 columns zero). See _PW.
+    Images narrower than the shift (tiny coarse levels) never select the
+    shifted copy (origins clamp to 0), so an all-zero copy is fine."""
+    s = min(_SHIFT, img16.shape[1])
+    shifted = jnp.pad(img16[:, s:], ((0, 0), (0, s)))
+    return jnp.stack([img16, shifted])
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))
@@ -66,26 +83,41 @@ def build_lk_pyramid(image: jnp.ndarray, levels: int) -> tuple[jnp.ndarray, ...]
     reduce_window runs in ~30 us (measured; same trap as lax.conv, see
     ops/features._sep_filter).
 
-    Levels are stored bf16: level 0 holds uint8-derived integers (EXACT in
-    bf16's 8 significand bits — the final, full-resolution GN refinement
-    sees bit-identical pixels), coarser levels round their 4-pixel averages
-    at ~0.25-0.5 intensity, below image noise and only used for the initial
-    flow guess. Halves the pyramid's carry footprint, the per-frame select
-    traffic, and every patch DMA in the tracker; pooling itself accumulates
-    in f32."""
-    out = [image.astype(jnp.bfloat16)]
+    Each level is a [2, H, W] dual: the image and its 64-column-shifted
+    copy (see _PW — enables 128-wide patch DMAs). Levels are stored bf16:
+    level 0 holds uint8-derived integers (EXACT in bf16's 8 significand
+    bits — the final, full-resolution GN refinement sees bit-identical
+    pixels), coarser levels round their 4-pixel averages at ~0.25-0.5
+    intensity, below image noise and only used for the initial flow guess.
+    Pooling itself accumulates in f32."""
+    out = [_dual(image.astype(jnp.bfloat16))]
     img = image.astype(jnp.float32)
     for _ in range(levels - 1):
         h, w = img.shape
         img = img[: h - h % 2, : w - w % 2]
         img = jax.lax.reduce_window(img, 0.0, jax.lax.add, (2, 2), (2, 2),
                                     "VALID") * 0.25
-        out.append(img.astype(jnp.bfloat16))
+        out.append(_dual(img.astype(jnp.bfloat16)))
     return tuple(out)
 
 
 def _ceil_to(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+def _dual_x(x: jnp.ndarray, need: int):
+    """Pick the pyramid copy + 128-aligned DMA column origin per point.
+
+    x: [N] int32 desired window-start columns (pre-clamped so the `need`
+    columns fit the padded image). Returns (o_src, sel, o_eff): DMA start
+    in the chosen copy's own coords (multiple of 128), the copy index
+    (0 = base, 1 = 64-left-shifted), and the window origin in BASE coords.
+    Guarantee (need <= 65): 0 <= x - o_eff <= 128 - need, so the whole
+    window lies inside the 128-wide patch."""
+    off = x % 128
+    sel = (off > _PW - need).astype(jnp.int32)
+    o_src = ((x - _SHIFT * sel) // 128) * 128
+    return o_src, sel, o_src + _SHIFT * sel
 
 
 @functools.partial(jax.jit, static_argnames=("win", "levels", "iters"))
@@ -113,23 +145,25 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
         drift = _DRIFT if li == levels - 1 else _DRIFT_FINE
         ph_next = _ceil_to(win + 2 * drift + 2 + sub - 1, sub)
         pc = win + 2 * drift + 2         # compacted next patch (y-slack gone)
-        prev_img = prev_pyr[li]
+        prev_img = prev_pyr[li]                  # [2, h, w] dual copies
         next_img = next_pyr[li]
-        h, w = prev_img.shape
+        h, w = prev_img.shape[1:]
         hp, wp = max(_ceil_to(h, sub), ph_next), max(_ceil_to(w, 128), _PW)
-        prev_p = jnp.pad(prev_img, ((0, hp - h), (0, wp - w)))
-        next_p = jnp.pad(next_img, ((0, hp - h), (0, wp - w)))
+        prev_p = jnp.pad(prev_img, ((0, 0), (0, hp - h), (0, wp - w)))
+        next_p = jnp.pad(next_img, ((0, 0), (0, hp - h), (0, wp - w)))
         scale = float(2 ** li)
         uv_l = uv / scale
 
         # ---- prev: one aligned gather + one sampling pass -> ext window ----
-        des_prev = jnp.stack(
-            [jnp.floor(uv_l[:, 1]) - (r + 1), jnp.floor(uv_l[:, 0]) - (r + 1)],
-            -1).astype(jnp.int32)
-        o_prev = aligned_origins(des_prev, hp, wp, ph_prev, _PW, sub=sub)
-        patches_prev = extract_patches(prev_p, o_prev, ph_prev, _PW)
-        local_py = uv_l[:, 1] - o_prev[:, 0]       # float in [r+1, r+9)
-        local_px = uv_l[:, 0] - o_prev[:, 1]
+        desy_p = (jnp.floor(uv_l[:, 1]) - (r + 1)).astype(jnp.int32)
+        desx_p = (jnp.floor(uv_l[:, 0]) - (r + 1)).astype(jnp.int32)
+        oy_p = (jnp.clip(desy_p, 0, max(hp - ph_prev, 0)) // sub) * sub
+        ox_src_p, sel_p, ox_eff_p = _dual_x(
+            jnp.clip(desx_p, 0, max(wp - (ext + 1), 0)), ext + 1)
+        patches_prev = extract_patches_multi(
+            prev_p, jnp.stack([oy_p, ox_src_p], -1), sel_p, ph_prev, _PW)
+        local_py = uv_l[:, 1] - oy_p       # float in [r+1, r+1+sub)
+        local_px = uv_l[:, 0] - ox_eff_p   # float in [r+1, r+1+(127-ext))
         offs_ext = jnp.arange(ext, dtype=uv.dtype) - (r + 1)
         # bf16 on both sampling operands: pixels are uint8-derived (exact in
         # bf16's 8 significand bits), hat-weight rounding is ~2^-8 of a
@@ -171,18 +205,17 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
 
         # ---- next: aligned gather + integer compaction to [N, pc, pc] ----
         guess = uv_l + flow
-        des_next = jnp.stack(
-            [jnp.floor(guess[:, 1]) - (r + drift),
-             jnp.floor(guess[:, 0]) - (r + drift)], -1).astype(jnp.int32)
-        o_next = aligned_origins(des_next, hp, wp, ph_next, _PW, sub=sub)
-        patches_next = extract_patches(next_p, o_next, ph_next, _PW)
-        used = jnp.stack(
-            [jnp.clip(des_next[:, 0], 0, max(hp - pc, 0)),
-             jnp.clip(des_next[:, 1], 0, max(wp - pc, 0))], -1)
-        ry = onehot_rows(used[:, 0] - o_next[:, 0], pc, ph_next).astype(
-            jnp.bfloat16)
-        rx = onehot_rows(used[:, 1] - o_next[:, 1], pc, _PW).astype(
-            jnp.bfloat16)
+        desy_n = (jnp.floor(guess[:, 1]) - (r + drift)).astype(jnp.int32)
+        desx_n = (jnp.floor(guess[:, 0]) - (r + drift)).astype(jnp.int32)
+        oy_n = (jnp.clip(desy_n, 0, max(hp - ph_next, 0)) // sub) * sub
+        used_y = jnp.clip(desy_n, 0, max(hp - pc, 0))
+        used_x = jnp.clip(desx_n, 0, max(wp - pc, 0))
+        ox_src_n, sel_n, ox_eff_n = _dual_x(used_x, pc)
+        patches_next = extract_patches_multi(
+            next_p, jnp.stack([oy_n, ox_src_n], -1), sel_n, ph_next, _PW)
+        used = jnp.stack([used_y, used_x], -1)
+        ry = onehot_rows(used_y - oy_n, pc, ph_next).astype(jnp.bfloat16)
+        rx = onehot_rows(used_x - ox_eff_n, pc, _PW).astype(jnp.bfloat16)
         # The compact patch is re-read by every GN iteration's sampling
         # matmul — the single largest HBM stream in the tracker. bf16
         # halves it: uint8-derived pixel values are exactly representable

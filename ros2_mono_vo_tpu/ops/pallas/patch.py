@@ -56,19 +56,13 @@ def _kernel_dma_b(origins_ref, img_ref, out_ref, sems, *, ph: int, pw: int):
 
 
 @functools.partial(jax.jit, static_argnames=("ph", "pw"))
-def _extract_pallas_batched(images: jnp.ndarray, origins: jnp.ndarray,
-                            ph: int, pw: int) -> jnp.ndarray:
-    """images [B, H, W], origins [B, N, 2] -> [B, N, ph, pw].
+def _extract_pallas_flat(images: jnp.ndarray, borg: jnp.ndarray,
+                         ph: int, pw: int) -> jnp.ndarray:
+    """images [M, H, W], borg [K, 3] rows (image idx, y0, x0) -> [K, ph, pw].
 
-    One flat grid over all B*N patches; each DMA reads from its own image
-    via a scalar-prefetched image index. This is THE batched form — a vmap
-    of a single-image pallas_call lowers to something ~5000x slower
-    (measured 452 ms vs 0.09 ms at B=8, N=512, 56x256 patches)."""
-    B, n = origins.shape[:2]
-    bidx = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.int32)[:, None, None], (B, n, 1))
-    borg = jnp.concatenate([bidx, origins], -1).reshape(B * n, 3)
-    total = B * n
+    One flat grid over all K patches; each DMA reads from its own image via
+    a scalar-prefetched image index."""
+    total = borg.shape[0]
     n_pad = -(-total // _PTS) * _PTS
     borg = jnp.pad(borg, ((0, n_pad - total), (0, 0))).T   # [3, n_pad]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -84,7 +78,23 @@ def _extract_pallas_batched(images: jnp.ndarray, origins: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, ph, pw), images.dtype),
     )(borg, images)
-    return out[:total].reshape(B, n, ph, pw)
+    return out[:total]
+
+
+@functools.partial(jax.jit, static_argnames=("ph", "pw"))
+def _extract_pallas_batched(images: jnp.ndarray, origins: jnp.ndarray,
+                            ph: int, pw: int) -> jnp.ndarray:
+    """images [B, H, W], origins [B, N, 2] -> [B, N, ph, pw].
+
+    This is THE batched form — a vmap of a single-image pallas_call lowers
+    to something ~5000x slower (measured 452 ms vs 0.09 ms at B=8, N=512,
+    56x256 patches)."""
+    B, n = origins.shape[:2]
+    bidx = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None, None], (B, n, 1))
+    borg = jnp.concatenate([bidx, origins], -1).reshape(B * n, 3)
+    out = _extract_pallas_flat(images, borg, ph, pw)
+    return out.reshape(B, n, ph, pw)
 
 
 @functools.partial(jax.jit, static_argnames=("ph", "pw"))
@@ -137,6 +147,70 @@ def extract_patches(image: jnp.ndarray, origins: jnp.ndarray, ph: int,
     VO engine's per-frame cost lives and dies on this.
     """
     return _extractor(ph, pw)(image, origins)
+
+
+@functools.partial(jax.jit, static_argnames=("ph", "pw"))
+def _extract_xla_multi(images: jnp.ndarray, origins: jnp.ndarray,
+                       src: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    return jax.vmap(
+        lambda o, s: jax.lax.dynamic_slice(
+            images, (s, o[0], o[1]), (1, ph, pw))[0]
+    )(origins, src)
+
+
+@functools.lru_cache(maxsize=None)
+def _extractor_multi(ph: int, pw: int):
+    """Shape-specialized multi-source extractor: each point picks its source
+    image by index (e.g. the base vs 64-col-shifted pyramid copy in
+    ops/lk.py). Custom vmap flattens (lane, src) into one flat image batch
+    so the whole lane batch is one DMA grid."""
+
+    @jax.custom_batching.custom_vmap
+    def ex(images, origins, src):
+        if jax.default_backend() == "cpu":
+            return _extract_xla_multi(images, origins, src, ph, pw)
+        borg = jnp.concatenate(
+            [src[:, None].astype(jnp.int32), origins], -1)
+        return _extract_pallas_flat(images, borg, ph, pw)
+
+    @ex.def_vmap
+    def ex_vmap(axis_size, in_batched, images, origins, src):
+        img_b, org_b, src_b = in_batched
+        if not img_b:
+            images = jnp.broadcast_to(images, (axis_size,) + images.shape)
+        if not org_b:
+            origins = jnp.broadcast_to(origins,
+                                       (axis_size,) + origins.shape)
+        if not src_b:
+            src = jnp.broadcast_to(src, (axis_size,) + src.shape)
+        A, M = images.shape[:2]
+        n = origins.shape[1]
+        if jax.default_backend() == "cpu":
+            out = jax.vmap(
+                lambda im, o, s: _extract_xla_multi(im, o, s, ph, pw)
+            )(images, origins, src)
+        else:
+            flat_imgs = images.reshape((A * M,) + images.shape[2:])
+            src_flat = (src.astype(jnp.int32)
+                        + M * jnp.arange(A, dtype=jnp.int32)[:, None])
+            borg = jnp.concatenate(
+                [src_flat.reshape(A * n, 1), origins.reshape(A * n, 2)], -1)
+            out = _extract_pallas_flat(flat_imgs, borg, ph, pw)
+            out = out.reshape(A, n, ph, pw)
+        return out, True
+
+    return ex
+
+
+def extract_patches_multi(images: jnp.ndarray, origins: jnp.ndarray,
+                          src: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """Gather [N, ph, pw] patches at integer `origins` [N, 2] = (y0, x0),
+    each from `images[src[n]]` (images [M, H, W], src [N] int32).
+
+    Same alignment contract and TPU/CPU dispatch as extract_patches; the
+    per-point source index rides the same scalar-prefetch word the batched
+    kernel already uses for lane indices."""
+    return _extractor_multi(ph, pw)(images, origins, src)
 
 
 def aligned_origins(desired: jnp.ndarray, h_pad: int, w_pad: int,
