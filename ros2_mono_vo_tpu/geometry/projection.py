@@ -23,7 +23,12 @@ def project_points(K: jnp.ndarray, T_cw: jnp.ndarray, pts_w: jnp.ndarray,
       (uv [..., N, 2], z [..., N]) — pixel coords and camera-frame depth.
     """
     R, t = T_cw[..., :3, :3], T_cw[..., :3, 3]
-    pc = pts_w @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    # broadcast-reduce, not @: under a hypothesis/keyframe batch the matmul
+    # lowers to one tiny [N,3]x[3,3] MXU op per batch element (the
+    # tiny-einsum trap, backend/ba._residual_and_jacobians); the VPU
+    # fusion is far cheaper and exact
+    pc = (jnp.sum(R[..., None, :, :] * pts_w[..., :, None, :], -1)
+          + t[..., None, :])
     z = pc[..., 2]
     zs = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
     x = pc[..., 0] / zs

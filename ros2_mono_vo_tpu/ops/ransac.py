@@ -220,7 +220,9 @@ def homography_reproj_error(H: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray):
     H [..., 3, 3], uv* [N, 2] -> [..., N].
     """
     p1 = jnp.concatenate([uv1, jnp.ones_like(uv1[..., :1])], -1)  # [N, 3]
-    q = jnp.einsum("...ij,nj->...ni", H, p1)
+    # broadcast-reduce, not einsum: per-hypothesis [3,3]x[3,N] batched
+    # matmuls issue one tiny MXU op per hypothesis (tiny-einsum trap)
+    q = jnp.sum(H[..., None, :, :] * p1[:, None, :], -1)
     z = q[..., 2]
     zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
     proj = q[..., :2] / zs[..., None]
@@ -234,9 +236,11 @@ def sampson_error(F: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray):
     normalized coords for E)."""
     p1 = jnp.concatenate([uv1, jnp.ones_like(uv1[..., :1])], -1)
     p2 = jnp.concatenate([uv2, jnp.ones_like(uv2[..., :1])], -1)
-    Fp1 = jnp.einsum("...ij,nj->...ni", F, p1)
-    Ftp2 = jnp.einsum("...ji,nj->...ni", F, p2)
-    num = jnp.einsum("ni,...ni->...n", p2, Fp1)
+    # broadcast-reduce, not einsum (tiny-einsum trap, see above)
+    Fp1 = jnp.sum(F[..., None, :, :] * p1[:, None, :], -1)
+    Ftp2 = jnp.sum(jnp.swapaxes(F, -1, -2)[..., None, :, :]
+                   * p2[:, None, :], -1)
+    num = jnp.sum(p2 * Fp1, -1)
     den = (Fp1[..., 0] ** 2 + Fp1[..., 1] ** 2
            + Ftp2[..., 0] ** 2 + Ftp2[..., 1] ** 2)
     return jnp.abs(num) / jnp.sqrt(jnp.clip(den, 1e-12, None))
@@ -398,7 +402,11 @@ def _pnp_residual_jacobian(R, t, X, uv, K):
     Jpc = jnp.concatenate(
         [jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), pc.shape[:-1] + (3, 3)),
          -hat(pc)], -1)                        # [N, 3, 6]
-    J = Juv_pc @ Jpc                           # [N, 2, 6]
+    # broadcast-reduce, not @: the per-point [2,3]x[3,6] batched matmul
+    # issues one tiny MXU op per point (the tiny-einsum trap, see
+    # backend/ba._residual_and_jacobians); the VPU fusion is ~20x cheaper
+    J = jnp.sum(Juv_pc[..., :, :, None] * Jpc[..., None, :, :],
+                -2)                            # [N, 2, 6]
     return r, J
 
 

@@ -179,7 +179,9 @@ def _lm_loop_landmark_sharded(p: BAProblem, iterations: int,
         H_pp_d = H_pp + (lam * jnp.abs(H_pp) * eye6 + 1e-8 * eye6)
         Hl_inv = _inv3x3(H_ll_d)
 
-        WHinv = jnp.einsum("mpij,pjk->mpik", W, Hl_inv)
+        # broadcast-reduce, not einsum (tiny-batched-matmul trap — see the
+        # same line in backend/ba.schur_solve, measured ~20x)
+        WHinv = jnp.sum(W[..., :, :, None] * Hl_inv[:, None, :, :], -2)
         S_off_l = -jnp.einsum("mpik,qplk->mqil", WHinv, W)   # [M, M, 6, 6]
         rhs_l = -jnp.einsum("mpik,pk->mi", WHinv, b_l)       # [M, 6]
         # the ONLY large-ish collective: M^2*36 + M*6 floats
@@ -200,7 +202,7 @@ def _lm_loop_landmark_sharded(p: BAProblem, iterations: int,
 
         # landmark back-substitution: local, no communication
         Wt_dxi = jnp.einsum("mpik,mi->pk", W, dxi)
-        dX = jnp.einsum("pjk,pk->pj", Hl_inv, b_l - Wt_dxi)
+        dX = jnp.sum(Hl_inv * (b_l - Wt_dxi)[:, None, :], -1)
 
         T_new = se3_exp(dxi) @ T_cw
         X_new = lm_xyz + dX
