@@ -119,14 +119,17 @@ def fast_corner_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     dark = circle < (center - threshold)[None]
 
     def has_arc(mask16):
-        # mask16: [16, H, W] bool. Check any window of 9 contiguous (cyclic).
-        acc = jnp.zeros(mask16.shape[1:], dtype=bool)
-        for s in range(16):
-            window = mask16[s]
-            for j in range(1, _ARC_LEN):
-                window = window & mask16[(s + j) % 16]
-            acc = acc | window
-        return acc
+        # mask16: [16, H, W] bool. Check any window of 9 contiguous (cyclic)
+        # by binary doubling over the circle axis: m2[s] = runs of 2 starting
+        # at s, m4 of 4, m8 of 8, m9[s] = m8[s] & m[s+8]. 4 stacked passes +
+        # one reduce instead of 16x8 per-start ANDs (~2x fewer map passes
+        # over the full-resolution score map).
+        m = mask16
+        m2 = m & jnp.roll(m, -1, axis=0)
+        m4 = m2 & jnp.roll(m2, -2, axis=0)
+        m8 = m4 & jnp.roll(m4, -4, axis=0)
+        m9 = m8 & jnp.roll(m, -8, axis=0)
+        return jnp.any(m9, axis=0)
 
     is_corner = has_arc(bright) | has_arc(dark)
     margin = jnp.abs(circle - center[None]) - threshold

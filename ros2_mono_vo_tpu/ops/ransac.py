@@ -120,7 +120,18 @@ def solve_homography_dlt(uv1: jnp.ndarray, uv2: jnp.ndarray,
         A = A * ww[..., None]
     h = _null_vector(A)
     Hn = h.reshape(h.shape[:-1] + (3, 3))
-    H = jnp.linalg.inv(T2) @ Hn @ T1
+    # T2 is the similarity [s,0,-s*cx; 0,s,-s*cy; 0,0,1] — invert
+    # analytically: jnp.linalg.inv here is a batched LU custom call that
+    # alone cost 1.3 ms at 512 hypotheses (measured)
+    sq = T2[..., 0, 0]
+    zero = jnp.zeros_like(sq)
+    one = jnp.ones_like(sq)
+    inv_s = 1.0 / sq
+    T2_inv = jnp.stack([
+        jnp.stack([inv_s, zero, -T2[..., 0, 2] * inv_s], -1),
+        jnp.stack([zero, inv_s, -T2[..., 1, 2] * inv_s], -1),
+        jnp.stack([zero, zero, one], -1)], -2)
+    H = T2_inv @ Hn @ T1
     return H / jnp.where(jnp.abs(H[..., 2:3, 2:3]) < 1e-12, 1e-12, H[..., 2:3, 2:3])
 
 

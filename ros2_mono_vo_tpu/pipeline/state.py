@@ -43,6 +43,12 @@ class MapState(NamedTuple):
     lm_desc: jnp.ndarray     # [L, B] int8 in {-1, +1} (representative desc)
     lm_valid: jnp.ndarray    # [L] bool
     lm_count: jnp.ndarray    # scalar int32 — number of valid landmarks
+    # [L] int32 — index of the NEWEST keyframe observing each landmark
+    # (maintained by add_keyframe with one [N]-sized scatter). Ring
+    # membership of that index decides liveness in recycle_landmarks: the
+    # full ring rescan it replaces was a 33K-index scatter that XLA lowers
+    # to a ~2 ms sort pipeline per serviced lane (measured).
+    lm_last_kf: jnp.ndarray
     # keyframes (ring buffer; only the last KF feeds the front-end, the ring
     # is the BA window)
     kf_pose_wc: jnp.ndarray  # [Kmax, 4, 4]
@@ -91,6 +97,7 @@ def empty_map(cfg: FrontendConfig) -> MapState:
         lm_desc=jnp.zeros((L, Bd), jnp.int8),
         lm_valid=jnp.zeros((L,), bool),
         lm_count=jnp.int32(0),
+        lm_last_kf=jnp.full((L,), -(1 << 30), jnp.int32),
         kf_pose_wc=jnp.tile(jnp.eye(4, dtype=jnp.float32), (Kmax, 1, 1)),
         kf_uv=jnp.zeros((Kmax, N, 2), jnp.float32),
         kf_lm_id=jnp.full((Kmax, N), -1, jnp.int32),
@@ -132,12 +139,17 @@ def referenced_landmarks(m: MapState,
                          protect_ids: jnp.ndarray | None = None) -> jnp.ndarray:
     """[L] bool — landmark slots referenced by any valid ring keyframe
     observation, plus any ids in `protect_ids` (e.g. the live tracked-point
-    bank, whose landmarks may outlast their keyframes in the ring)."""
+    bank, whose landmarks may outlast their keyframes in the ring).
+
+    The ring test rides `lm_last_kf` (newest keyframe observing each
+    landmark, maintained incrementally by add_keyframe): a landmark is
+    referenced by SOME ring keyframe iff its newest reference is itself
+    still in the ring — the ring always holds the last `Kmax` keyframes.
+    Equivalent to rescanning kf_lm_id, without the 33K-index scatter that
+    dominated keyframe-service cost (state.py history, round 5)."""
+    kmax = m.kf_valid.shape[0]
     L = m.lm_valid.shape[0]
-    ids = jnp.where(m.kf_obs_valid & m.kf_valid[:, None], m.kf_lm_id, -1)
-    flat = ids.reshape(-1)
-    ref = jnp.zeros((L,), bool).at[
-        jnp.where(flat >= 0, flat, L)].set(True, mode="drop")
+    ref = m.lm_last_kf >= m.kf_count - kmax
     if protect_ids is not None:
         ref = ref.at[jnp.where(protect_ids >= 0, protect_ids, L)].set(
             True, mode="drop")
@@ -231,10 +243,17 @@ def add_keyframe(m: MapState, pose_wc: jnp.ndarray, uv: jnp.ndarray,
                                  jnp.zeros((C - n,), order.dtype)])
     sel_ids = jnp.clip(lm_id[order], 0, L - 1)
 
+    # newest-reference index for every landmark this keyframe observes
+    # (the incremental input to referenced_landmarks' ring test)
+    obs_ids_ok = obs_valid & (lm_id >= 0)
+    lm_slot = jnp.where(obs_ids_ok, lm_id, L)
+    lm_last_kf = m.lm_last_kf.at[lm_slot].set(m.kf_count, mode="drop")
+
     # descriptor banks / kdb snapshots may be zero-width
     # (store_descriptors=False) — slice every write to the stored width
     Bd = m.kf_desc.shape[-1]
     return m._replace(
+        lm_last_kf=lm_last_kf,
         kf_pose_wc=m.kf_pose_wc.at[slot].set(pose_wc),
         kf_uv=m.kf_uv.at[slot].set(uv),
         kf_lm_id=m.kf_lm_id.at[slot].set(lm_id),
