@@ -3,9 +3,10 @@
 The reference's roadmap lists "Pose Graph Optimization" and "Loop Closing"
 as future work (reference README.md:97); this implements them TPU-native
 (BASELINE.json config #5): fixed-capacity edge arrays with masks, per-edge
-Jacobians by forward-mode autodiff at the identity tangent, scatter-assembled
-Gauss-Newton normal equations, dense solve (6K x 6K with K <= ring capacity
-is tiny for the MXU).
+Jacobians by forward-mode autodiff at the identity tangent, Gauss-Newton
+normal equations assembled as one A^T A matmul over a dense one-hot-placed
+Jacobian (scatter-free), dense solve (6K x 6K with K <= ring capacity is
+tiny for the MXU).
 
 Edge residual: r(i, j) = log( T_ij_meas^-1 * T_i^-1 * T_j )  in se(3),
 with left-multiplicative updates T_k <- T_k * exp(xi_k) (right-tangent).
@@ -68,26 +69,29 @@ def optimize_pose_graph(g: PoseGraph, iterations: int = 20,
         T_w, lam, _ = carry
         r, Ji, Jj = jax.vmap(_edge_residual_jacobians)(
             T_w[g.edge_i], T_w[g.edge_j], g.T_ij)
-        w = g.edge_weight[:, None, None]
-        # assemble H [K, 6, K, 6] sparse via scatter-add of 4 blocks per edge
-        H = jnp.zeros((K, 6, K, 6), T_w.dtype)
-        b = jnp.zeros((K, 6), T_w.dtype)
-        JiT = jnp.swapaxes(Ji, -1, -2) * w
-        JjT = jnp.swapaxes(Jj, -1, -2) * w
-        H = H.at[g.edge_i, :, g.edge_i, :].add(JiT @ Ji)
-        H = H.at[g.edge_i, :, g.edge_j, :].add(JiT @ Jj)
-        H = H.at[g.edge_j, :, g.edge_i, :].add(JjT @ Ji)
-        H = H.at[g.edge_j, :, g.edge_j, :].add(JjT @ Jj)
-        b = b.at[g.edge_i].add(-jnp.einsum("eik,ei->ek", Ji * w, r))
-        b = b.at[g.edge_j].add(-jnp.einsum("eik,ei->ek", Jj * w, r))
+        E = r.shape[0]
+        # Assemble via a DENSE one-hot-placed Jacobian A [E*6, K*6] and one
+        # H = A^T A matmul — NOT per-edge scatter-adds of 4 [6,6] blocks:
+        # scatter lowers to a serialized sort pipeline on TPU and the
+        # per-edge JiT@Ji products are tiny-batched-matmul traps (see
+        # backend/ba.py); this runs in-scan at keyframe cadence when loop
+        # closure is on, pgo_iterations deep.
+        sqw = jnp.sqrt(g.edge_weight)
+        Oi = (g.edge_i[:, None] == jnp.arange(K)).astype(T_w.dtype)  # [E, K]
+        Oj = (g.edge_j[:, None] == jnp.arange(K)).astype(T_w.dtype)
+        A = (Oi[:, None, :, None] * Ji[:, :, None, :]
+             + Oj[:, None, :, None] * Jj[:, :, None, :])   # [E, 6, K, 6]
+        Af = (A * sqw[:, None, None, None]).reshape(E * 6, K * 6)
+        rw = (r * sqw[:, None]).reshape(E * 6)
+        Hd = Af.T @ Af                                     # [K*6, K*6]
+        b = -(rw @ Af)                                     # [K*6]
 
         free = (~g.fixed).astype(T_w.dtype)
-        Hd = H.reshape(K * 6, K * 6)
         fm = jnp.repeat(free, 6)
         Hd = Hd * fm[:, None] * fm[None, :]
         Hd = Hd + jnp.diag(1.0 - fm) + lam * jnp.diag(jnp.diag(Hd)) \
             + 1e-9 * jnp.eye(K * 6, dtype=T_w.dtype)
-        bv = b.reshape(-1) * fm
+        bv = b * fm
         dx = jnp.linalg.solve(Hd, bv).reshape(K, 6) * free[:, None]
 
         T_new = T_w @ se3_exp(dx)

@@ -244,10 +244,11 @@ def add_keyframe(m: MapState, pose_wc: jnp.ndarray, uv: jnp.ndarray,
     sel_ids = jnp.clip(lm_id[order], 0, L - 1)
 
     # newest-reference index for every landmark this keyframe observes
-    # (the incremental input to referenced_landmarks' ring test)
+    # (the incremental input to referenced_landmarks' ring test; .max keeps
+    # it monotone under duplicate slots)
     obs_ids_ok = obs_valid & (lm_id >= 0)
     lm_slot = jnp.where(obs_ids_ok, lm_id, L)
-    lm_last_kf = m.lm_last_kf.at[lm_slot].set(m.kf_count, mode="drop")
+    lm_last_kf = m.lm_last_kf.at[lm_slot].max(m.kf_count, mode="drop")
 
     # descriptor banks / kdb snapshots may be zero-width
     # (store_descriptors=False) — slice every write to the stored width

@@ -171,6 +171,15 @@ def keyframe_step(image: jnp.ndarray, tracked: FrameObs, T_wc: jnp.ndarray,
     # backfill new ids into the last keyframe's observations
     kf_lmid_updated = jnp.where(new & (new_ids >= 0), new_ids, kf_lmid)
     m2 = m1._replace(kf_lm_id=m1.kf_lm_id.at[last].set(kf_lmid_updated))
+    # the backfilled ids are referenced by the LAST keyframe (index
+    # kf_count-1); record that in lm_last_kf — the new keyframe's own
+    # scatter below can miss them when duplicate matches drop an id from
+    # cur_lm_id (referenced_landmarks would otherwise free live landmarks)
+    L_cap = m2.lm_last_kf.shape[0]
+    bf_slot = jnp.where(m.kf_obs_valid[last] & (kf_lmid_updated >= 0),
+                        kf_lmid_updated, L_cap)
+    m2 = m2._replace(lm_last_kf=m2.lm_last_kf.at[bf_slot].max(
+        m.kf_count - 1, mode="drop"))
 
     # --- scatter assigned ids to the new frame's own slots ---
     ok = assigned >= 0
