@@ -29,6 +29,9 @@ class WindowInfo(NamedTuple):
     #   (kdb slot = index % KL), keeping db consumers (retro-correction,
     #   full-trajectory PGO, beyond-ring closure) consistent with BA
     #   (ADVICE round-3 #3)
+    n_obs_dropped: jnp.ndarray  # scalar int32 — valid observations masked
+    #   out by the obs_cap compaction + landmark-capacity overflow (ADVICE
+    #   round-4 #5: the silent cap is now observable; 0 in normal operation)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "capacity", "obs_cap"))
@@ -60,6 +63,7 @@ def extract_window(m: MapState, K: jnp.ndarray, window: int,
     obs_ok = obs_ok & m.lm_valid[ids_c]
 
     obs_uv_m = m.kf_uv[slots]                   # [M, N, 2]
+    n_obs_total = jnp.sum(obs_ok.astype(jnp.int32))
     if obs_cap is not None and obs_cap < ids.shape[1]:
         order = jnp.argsort(~obs_ok, axis=1, stable=True)[:, :obs_cap]
         ids_c = jnp.take_along_axis(ids_c, order, 1)
@@ -99,9 +103,10 @@ def extract_window(m: MapState, K: jnp.ndarray, window: int,
     prob = BAProblem(T_cw=T_cw, lm_xyz=lm_xyz, obs_uv=obs_uv_m,
                      obs_lm=obs_lm, obs_mask=obs_mask, K=K,
                      pose_fixed=pose_fixed, lm_fixed=lm_fixed)
-    return prob, WindowInfo(slots=slots, kf_mask=kf_mask,
-                            lm_global=lm_global, lm_mask=lm_mask,
-                            kf_index=jnp.where(kf_mask, idx, -1))
+    return prob, WindowInfo(
+        slots=slots, kf_mask=kf_mask, lm_global=lm_global, lm_mask=lm_mask,
+        kf_index=jnp.where(kf_mask, idx, -1),
+        n_obs_dropped=n_obs_total - jnp.sum(obs_mask.astype(jnp.int32)))
 
 
 @jax.jit

@@ -265,10 +265,16 @@ def _detect_level(img: jnp.ndarray, budget: int, cfg: FrontendConfig):
     Returns (rc [budget, 2] int32, response [budget], valid [budget]).
     """
     # Corner scoring runs in bf16: ~30 elementwise passes over the level
-    # map are pure bandwidth, pixel values are uint8-derived (bf16-exact),
-    # and the 0.4% rounding on Harris products only perturbs the ranking
-    # of near-equal corners (the parity bar is trajectory ATE, not
-    # descriptor equality). The describe path keeps f32.
+    # map are pure bandwidth and pixel values are uint8-derived
+    # (bf16-exact). Caveats (ADVICE round-4 #3): Harris' det =
+    # sxx*syy - sxy^2 CANCELS near edges, so bf16 rounding (~0.4% per
+    # product) yields absolute response errors much larger than 0.4% of
+    # small responses — weak/edge-like corners can reorder, not just
+    # near-equal ones — and bf16 FAST-score quantization makes NMS ties
+    # (duplicate adjacent corners) more likely. Both only perturb WHICH
+    # corners are selected; the ATE-parity gate in bench.py is the
+    # guardrail that this never costs trajectory accuracy. The describe
+    # path keeps f32.
     img16 = img.astype(jnp.bfloat16)
     score = fast_corner_score(img16, cfg.fast_threshold)
     score = _nms3x3(score)

@@ -69,6 +69,45 @@ def _lc_empty():
     return _empty_info()
 
 
+@functools.partial(jax.jit, static_argnames=("lead",))
+def _pack_outs(outs: "VOStepOut", lead: int) -> jnp.ndarray:
+    """Flatten a VOStepOut pytree into ONE f32 blob [*lead_dims, D].
+
+    Device->host fetches over the axon tunnel are latency-bound RPCs and
+    copy_to_host_async does not actually prefetch there — fetching the
+    ~17 leaves of every deferred chunk cost ~100 ms EACH (measured ~10 s
+    of finalize() at B=16 over 6 chunks). One packed fetch per chunk
+    replaces them. f32 is lossless for every field: bools are 0/1, the
+    int32 counters/indices stay far below 2^24."""
+    leaves = jax.tree.leaves(outs)
+    lead_shape = leaves[0].shape[:lead]
+    parts = [l.astype(jnp.float32).reshape(lead_shape + (-1,))
+             for l in leaves]
+    return jnp.concatenate(parts, -1)
+
+
+def _outs_spec(outs: "VOStepOut", lead: int):
+    """(treedef, tail-shapes, dtypes) needed to invert _pack_outs."""
+    leaves, treedef = jax.tree.flatten(outs)
+    tails = [tuple(l.shape[lead:]) for l in leaves]
+    dtypes = [l.dtype for l in leaves]
+    return treedef, tails, dtypes
+
+
+def _unpack_outs(blob, spec) -> "VOStepOut":
+    """Numpy blob [*lead_dims, D] -> VOStepOut of numpy arrays."""
+    import numpy as np
+    treedef, tails, dtypes = spec
+    out = []
+    o = 0
+    for tail, dt in zip(tails, dtypes):
+        sz = int(np.prod(tail)) if tail else 1
+        seg = blob[..., o:o + sz].reshape(blob.shape[:-1] + tuple(tail))
+        out.append(seg.astype(dt))
+        o += sz
+    return jax.tree.unflatten(treedef, out)
+
+
 def _rel_to_kf(m, pose_wc):
     """Pose expressed relative to the latest keyframe's (current) pose."""
     from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
@@ -781,6 +820,7 @@ class BatchedDeviceMonoVO:
         self._frame_idx = 0
         self._all_tracking = False
         self._pending: list = []
+        self._spec = None   # _outs_spec of packed chunk outputs
 
     def _pad(self, f_np, width=None):
         import numpy as np
@@ -850,7 +890,7 @@ class BatchedDeviceMonoVO:
             self.carry, outs = combined_scan_batched(
                 self.carry, fdev, jnp.int32(n), self.K, self.cfg,
                 self.image_shape, d=self.d)
-            outs = jax.device_get(outs)
+            outs = self._fetch(outs)
             self._record(jax.tree.map(lambda x: x[:, :n], outs), n)
             modes = np.asarray(outs.mode)[:, n - 1]
             self._all_tracking = bool((modes >= MODE_TRACKING).all())
@@ -879,7 +919,7 @@ class BatchedDeviceMonoVO:
                 if chunk_ba:
                     self.carry = batched_local_ba(self.carry, self.K,
                                                   self.cfg)
-                self._pending.append((self._frame_idx, m, outs))
+                self._pending.append((self._frame_idx, m, self._blob(outs)))
                 self._frame_idx += m
             return
         self._frame_idx += n
@@ -892,7 +932,7 @@ class BatchedDeviceMonoVO:
             self.carry, outs = combined_scan_batched(
                 self.carry, fdev, jnp.int32(n), self.K, self.cfg,
                 self.image_shape, d=self.d)
-            outs = jax.device_get(outs)
+            outs = self._fetch(outs)
             self._record(jax.tree.map(lambda x: x[:, :n], outs), n)
             modes = np.asarray(outs.mode)[:, n - 1]
             self._all_tracking = bool((modes >= MODE_TRACKING).all())
@@ -911,17 +951,28 @@ class BatchedDeviceMonoVO:
                 self.carry, fsub, jnp.int32(m), self.K, self.cfg, d=self.d)
             if chunk_ba:
                 self.carry = batched_local_ba(self.carry, self.K, self.cfg)
-            self._pending.append((self._frame_idx, m, outs))
+            self._pending.append((self._frame_idx, m, self._blob(outs)))
             self._frame_idx += m
+
+    def _blob(self, outs: VOStepOut):
+        """Pack a deferred chunk's outputs into one device blob (one host
+        fetch at finalize instead of one RPC per leaf — see _pack_outs)."""
+        if self._spec is None:
+            self._spec = _outs_spec(outs, 2)
+        return _pack_outs(outs, 2)
+
+    def _fetch(self, outs: VOStepOut):
+        """Sync fetch of a chunk's outputs via the packed blob."""
+        import numpy as np
+        blob = np.asarray(self._blob(outs))
+        return _unpack_outs(blob, self._spec)
 
     def finalize(self) -> None:
         import numpy as np
-        # async copies first — one tunnel roundtrip for all pending chunks
-        for _, _, outs in self._pending:
-            for leaf in jax.tree.leaves(outs):
-                leaf.copy_to_host_async()
-        for offset, n, outs in self._pending:
-            o = jax.device_get(outs)     # full padded arrays: already in flight
+        for _, _, blob in self._pending:
+            blob.copy_to_host_async()
+        for offset, n, blob in self._pending:
+            o = _unpack_outs(np.asarray(blob), self._spec)
             saved = self._frame_idx
             self._frame_idx = offset
             self._record(jax.tree.map(lambda x: x[:, :n], o), n)
@@ -983,7 +1034,8 @@ class DeviceMonoVO:
         self._traj_anchor: list = []
         self._frame_idx = 0
         self._tracking = False
-        self._pending: list = []   # (offset, n, device VOStepOut)
+        self._pending: list = []   # (offset, n, packed outs blob)
+        self._spec = None          # _outs_spec of packed chunk outputs
         # odometry-surface bookkeeping (reference mono_vo.hpp:64-71)
         self._last_pose = None
         self._tracking_valid = False
@@ -1038,6 +1090,17 @@ class DeviceMonoVO:
             x = jnp.pad(x, ((0, self.chunk - n), (0, 0), (0, 0)))
         return x, n
 
+    def _blob(self, outs: VOStepOut):
+        """Pack a chunk's outputs into one device blob (one host fetch per
+        chunk instead of one RPC per leaf — see _pack_outs)."""
+        if self._spec is None:
+            self._spec = _outs_spec(outs, 1)
+        return _pack_outs(outs, 1)
+
+    def _fetch(self, outs: VOStepOut):
+        import numpy as np
+        return _unpack_outs(np.asarray(self._blob(outs)), self._spec)
+
     def process_staged(self, fdev, n: int):
         """Device-resident counterpart of process_chunk for put_chunk
         output; the transition chunk's tail replays through track_scan by
@@ -1046,7 +1109,7 @@ class DeviceMonoVO:
         if not self._tracking:
             self.carry, outs = init_scan(self.carry, fdev, jnp.int32(n),
                                          self.K, self.cfg, self.image_shape)
-            outs = jax.device_get(outs)
+            outs = self._fetch(outs)
             modes = np.asarray(outs.mode)[:n]
             if (modes >= MODE_TRACKING).any():
                 t0 = int(np.argmax(modes >= MODE_TRACKING)) + 1
@@ -1058,7 +1121,7 @@ class DeviceMonoVO:
                         self.carry, rest, jnp.int32(n - t0), self.K,
                         self.cfg, d=self.d)
                     outs2 = jax.tree.map(lambda x: x[:n - t0],
-                                         jax.device_get(outs2))
+                                         self._fetch(outs2))
                     self._record(outs2, t0)
             else:
                 self._record(jax.tree.map(lambda x: x[:n], outs), 0)
@@ -1066,10 +1129,10 @@ class DeviceMonoVO:
             self.carry, outs = track_scan(self.carry, fdev, jnp.int32(n),
                                           self.K, self.cfg, d=self.d)
             if self.sync:
-                o = jax.tree.map(lambda x: x[:n], jax.device_get(outs))
+                o = jax.tree.map(lambda x: x[:n], self._fetch(outs))
                 self._record(o, 0)
             else:
-                self._pending.append((self._frame_idx, n, outs))
+                self._pending.append((self._frame_idx, n, self._blob(outs)))
         self._frame_idx += n
 
     def _process_fixed(self, f_np) -> VOStepOut:
@@ -1081,7 +1144,7 @@ class DeviceMonoVO:
             fdev = jnp.asarray(self._pad(f_np))
             self.carry, outs = init_scan(self.carry, fdev, jnp.int32(n),
                                          self.K, self.cfg, self.image_shape)
-            outs = jax.device_get(outs)
+            outs = self._fetch(outs)
             modes = np.asarray(outs.mode)[:n]
             if (modes >= MODE_TRACKING).any():
                 # init succeeded mid-chunk: replay the remainder through the
@@ -1098,7 +1161,7 @@ class DeviceMonoVO:
                         self.carry, fdev2, jnp.int32(len(rest)), self.K,
                         self.cfg, d=self.d)
                     outs2 = jax.tree.map(lambda x: x[:len(rest)],
-                                         jax.device_get(outs2))
+                                         self._fetch(outs2))
                     self._record(outs2, t0)
                     outs_list.append(outs2)
             else:
@@ -1110,11 +1173,11 @@ class DeviceMonoVO:
             self.carry, outs = track_scan(self.carry, fdev, jnp.int32(n),
                                           self.K, self.cfg, d=self.d)
             if self.sync:
-                outs = jax.tree.map(lambda x: x[:n], jax.device_get(outs))
+                outs = jax.tree.map(lambda x: x[:n], self._fetch(outs))
                 self._record(outs, 0)
                 outs_list.append(outs)
             else:
-                self._pending.append((self._frame_idx, n, outs))
+                self._pending.append((self._frame_idx, n, self._blob(outs)))
                 outs_list.append(None)
         self._frame_idx += n
         if len(outs_list) == 1:
@@ -1130,11 +1193,10 @@ class DeviceMonoVO:
         is latency-bound (~150 ms here), so N sequential device_get calls
         cost N roundtrips while async-then-gather costs ~one."""
         import numpy as np
-        for _, _, outs in self._pending:
-            for leaf in jax.tree.leaves(outs):
-                leaf.copy_to_host_async()
-        for offset, n, outs in self._pending:
-            o = jax.device_get(outs)     # full padded arrays: already in flight
+        for _, _, blob in self._pending:
+            blob.copy_to_host_async()
+        for offset, n, blob in self._pending:
+            o = _unpack_outs(np.asarray(blob), self._spec)
             valid = np.asarray(o.valid)[:n]
             poses = np.asarray(o.pose_wc)[:n]
             kfc = np.asarray(o.kf_count)[:n]
