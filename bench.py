@@ -104,9 +104,9 @@ def _vo_config(ba: bool = False, lc: bool = False):
 
 def _traj_ate(trajectory, poses):
     from ros2_mono_vo_tpu.io.trajectory import ate_rmse, trajectory_positions
-    est = trajectory_positions(trajectory)
-    if len(est) <= 5:
+    if len(trajectory) <= 5:
         return float("nan")
+    est = trajectory_positions(trajectory)
     stamps = [int(s) for s, _ in trajectory]
     gt = np.stack([poses[i][:3, 3] for i in stamps])
     return float(ate_rmse(est, gt))
@@ -522,14 +522,41 @@ def main():
     print(f"# ours single-lane (BA off):     {noba_fps:.2f} fps, "
           f"ATE {ate_noba:.3f}", file=sys.stderr)
 
-    # per-lane DISTINCT scenes for the batched engine (seed = lane index;
-    # lane 0 reuses the headline sequence)
+    # per-lane DISTINCT scenes for the batched engine (lane 0 reuses the
+    # headline sequence). Candidate seeds are screened with the
+    # initializer's keypoint-distribution gate (reference
+    # initializer.cpp:52-75, kp_distribution_thresh=0.5): a scene whose
+    # occupancy never clears it leaves the node in OBTAINING_REF forever —
+    # on the reference exactly as here — so such seeds are skipped, not
+    # counted as engine failures.
+    def _initializable(scene_s, frames_s):
+        import jax.numpy as jnp
+        from ros2_mono_vo_tpu.ops.features import (detect_and_describe,
+                                                   occupancy_grid_check)
+        cfg0 = _vo_config()
+        for f in frames_s[:5]:
+            feats = detect_and_describe(jnp.asarray(f, jnp.float32),
+                                        cfg0.frontend)
+            ok, _ = occupancy_grid_check(
+                feats.uv, feats.valid, scene_s.image_shape,
+                cfg0.initializer.occupancy_grid_div,
+                cfg0.initializer.kp_distribution_thresh)
+            if not bool(ok):
+                return False
+        return True
+
     max_b = max(batches) if batches else 0
     lane_data = [(poses, np.clip(np.stack(frames), 0, 255).astype(np.uint8))]
-    for s in range(1, max_b):
-        _, p_s, f_s = make_sequence(n, seed=s)
-        lane_data.append(
-            (p_s, np.clip(np.stack(f_s), 0, 255).astype(np.uint8)))
+    s = 1
+    while len(lane_data) < max_b and s < 64:
+        scene_s, p_s, f_s = make_sequence(n, seed=s)
+        if _initializable(scene_s, f_s):
+            lane_data.append(
+                (p_s, np.clip(np.stack(f_s), 0, 255).astype(np.uint8)))
+        s += 1
+    if max_b and len(lane_data) < max_b:
+        print(f"# WARNING: only {len(lane_data)} initializable lane scenes "
+              f"found; lanes will cycle", file=sys.stderr)
 
     best_fps, best_b, ate_batched = solo_fps, 1, ate_solo
     for b in batches:

@@ -141,6 +141,82 @@ def partition_by_landmark(prob: BAProblem, n_shards: int) -> BAProblem:
                      lm_fixed=lm_fixed_p)
 
 
+@functools.partial(jax.jit, static_argnames=("n_shards", "obs_per_shard"))
+def partition_by_landmark_device(prob: BAProblem, n_shards: int,
+                                 obs_per_shard: int | None = None):
+    """Device-resident shard partitioning, so the LIVE engine can feed
+    `landmark_sharded_bundle_adjust` at keyframe cadence with NO host
+    round-trip (VERDICT round-4 #7 — the host repartition made distributed
+    BA a finishing pass only).
+
+    Two deliberate differences vs the host `partition_by_landmark`:
+      - ROUND-ROBIN (id % D) landmark sharding, not contiguous blocks:
+        window-local landmark ids are dense ranks starting at 0, so
+        contiguous blocks would put every real landmark on shard 0; the
+        modulo spread balances shards regardless of occupancy. Shard d
+        locally owns global ids {j*D + d} at local index j; invert the
+        layout with `unpartition_landmarks`.
+      - STATIC per-shard observation block width `obs_per_shard` (default
+        2*ceil(N/D), capped at N) instead of the host version's dynamic
+        max. Overflow is DROPPED (masked) — returned as n_dropped so it
+        is observable; round-robin balance makes the 2x headroom ample.
+    """
+    M, N = prob.obs_lm.shape
+    Pn = prob.lm_xyz.shape[0]
+    P_pad = -(-Pn // n_shards) * n_shards
+    p_loc = P_pad // n_shards
+    n_s = obs_per_shard or min(N, 2 * (-(-N // n_shards)))
+
+    ok = prob.obs_mask & (prob.obs_lm >= 0)
+    shard = jnp.where(ok, prob.obs_lm % n_shards, n_shards)   # [M, N]
+    onehot = (shard[..., None] ==
+              jnp.arange(n_shards)).astype(jnp.int32)         # [M, N, D]
+    counts = jnp.cumsum(onehot, axis=1)                       # [M, N, D]
+    rank = jnp.take_along_axis(
+        counts, jnp.clip(shard, 0, n_shards - 1)[..., None], -1)[..., 0] - 1
+    dest = jnp.where(ok & (rank < n_s), shard * n_s + rank,
+                     n_shards * n_s)                          # drop slot
+    rows = jnp.arange(M)[:, None]
+    W = n_shards * n_s
+    uv_out = jnp.zeros((M, W, 2), prob.obs_uv.dtype).at[rows, dest].set(
+        prob.obs_uv, mode="drop")
+    lm_local = jnp.where(ok, prob.obs_lm // n_shards, -1)
+    lm_out = jnp.full((M, W), -1, prob.obs_lm.dtype).at[rows, dest].set(
+        lm_local, mode="drop")
+    mask_out = jnp.zeros((M, W), bool).at[rows, dest].set(ok, mode="drop")
+
+    def shard_major(x, fill=0.0):
+        xp = jnp.pad(x, ((0, P_pad - Pn),) + ((0, 0),) * (x.ndim - 1),
+                     constant_values=fill)
+        # [P_pad, ...] global order -> [D * p_loc, ...] shard-major
+        return jnp.swapaxes(
+            xp.reshape((p_loc, n_shards) + xp.shape[1:]), 0, 1
+        ).reshape((P_pad,) + xp.shape[1:])
+
+    lm_xyz_p = shard_major(prob.lm_xyz)
+    lm_fixed_p = (None if prob.lm_fixed is None
+                  else shard_major(prob.lm_fixed, fill=False))
+    n_dropped = (jnp.sum(ok.astype(jnp.int32))
+                 - jnp.sum(mask_out.astype(jnp.int32)))
+    return BAProblem(T_cw=prob.T_cw, lm_xyz=lm_xyz_p, obs_uv=uv_out,
+                     obs_lm=lm_out, obs_mask=mask_out, K=prob.K,
+                     pose_fixed=prob.pose_fixed,
+                     lm_fixed=lm_fixed_p), n_dropped
+
+
+@functools.partial(jax.jit, static_argnames=("n_shards", "n_out"))
+def unpartition_landmarks(lm_xyz_sharded: jnp.ndarray, n_shards: int,
+                          n_out: int) -> jnp.ndarray:
+    """Invert partition_by_landmark_device's shard-major landmark layout:
+    [D * p_loc, 3] -> global-id order [n_out, 3]."""
+    P_pad = lm_xyz_sharded.shape[0]
+    p_loc = P_pad // n_shards
+    out = jnp.swapaxes(
+        lm_xyz_sharded.reshape((n_shards, p_loc) + lm_xyz_sharded.shape[1:]),
+        0, 1).reshape((P_pad,) + lm_xyz_sharded.shape[1:])
+    return out[:n_out]
+
+
 def _lm_loop_landmark_sharded(p: BAProblem, iterations: int,
                               huber_delta: float, lam0: float,
                               lam_factor: float,

@@ -37,7 +37,20 @@ def tracked_engine():
 def _ba_and_snapshot(vo, mesh):
     vo = copy.copy(vo)
     vo.carry = jax.tree.map(lambda x: x, vo.carry)   # decouple the pytree
-    vo.run_local_ba(iterations=4, mesh=mesh)
+    if mesh is not None:
+        # the distributed path must be fully device-resident (VERDICT
+        # round-4 #7): window extraction, shard partitioning, sharded LM,
+        # scatter-back — any implicit HOST transfer fails here
+        # (device-to-device resharding single-chip carry -> mesh
+        # replication is expected: an ICI broadcast on real hardware)
+        with jax.transfer_guard_host_to_device("disallow"), \
+                jax.transfer_guard_device_to_host("disallow"):
+            vo.run_local_ba(iterations=4, mesh=mesh)
+        # the static per-shard block width must not have dropped any
+        # observation on this window (fetch happens OUTSIDE the guard)
+        assert int(np.asarray(vo.last_ba_obs_dropped)) == 0
+    else:
+        vo.run_local_ba(iterations=4, mesh=mesh)
     m = vo.carry.map
     return (np.asarray(m.kf_pose_wc), np.asarray(m.lm_xyz),
             np.asarray(m.lm_valid))
