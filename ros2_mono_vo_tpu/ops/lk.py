@@ -256,13 +256,19 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
         # UNROLLED (static trip count): a lax.fori_loop body of tiny batched
         # matmuls pays per-iteration loop overhead; unrolling lets XLA fuse
         # and pipeline across iterations. The error sample is only needed
-        # where it is consumed (level 0). All levels run the full `iters`:
-        # per-level iteration cuts were measured to break large-motion
-        # convergence (each mid level must hand a SUB-PIXEL residual to the
-        # next or the error doubles per level — 25-px oracle test drops
-        # from 100% to 79% good flow with mid levels at 6 iterations).
+        # where it is consumed (level 0). Coarse + mid levels run the full
+        # `iters`: per-level iteration cuts there were measured to break
+        # large-motion convergence (each mid level must hand a SUB-PIXEL
+        # residual to the next or the error doubles per level — 25-px
+        # oracle test drops from 100% to 79% good flow with mid levels at
+        # 6 iterations). Level 0 is different: it RECEIVES a sub-pixel
+        # hand-off (at most ~2x the level-1 residual) and only polishes,
+        # so half the budget converges it — measured identical status
+        # rates and <0.03 px flow movement on the translation/rotation
+        # oracle tests vs the full budget.
+        n_it = iters if li > 0 else max(3, (iters + 1) // 2)
         delta = jnp.zeros_like(flow)
-        for _ in range(iters):
+        for _ in range(n_it):
             delta = body(delta)
         if li == 0:
             jw = sample_next(delta)
