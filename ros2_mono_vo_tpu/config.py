@@ -92,6 +92,19 @@ class FrontendConfig:
     lk_window: int = 21
     lk_levels: int = 4
     lk_iterations: int = 10
+    # Predictive LK: seed each frame's search with landmarks projected
+    # under a constant-velocity pose model and start the pyramid at
+    # lk_start_level instead of lk_levels-1. The coarse levels exist only
+    # for capture range; with a motion prior the residual is the model's
+    # acceleration error (sub-pixel at video rate), so skipping them drops
+    # ~(levels-1-start)/levels of the tracker's patch gathers and GN
+    # iterations. Capture around the prior is +-34 px at start level 1
+    # (drift 13*2 + 8). Divergence from cv::calcOpticalFlowPyrLK's
+    # zero-init defaults (reference tracker.cpp:68-69) — equivalent to its
+    # OPTFLOW_USE_INITIAL_FLOW + maxLevel knobs; gated by the same ATE
+    # parity bar as every other divergence.
+    lk_predictive: bool = True
+    lk_start_level: int = 1
     # RANSAC hypothesis batch (hypothesis-parallel engine)
     ransac_hypotheses: int = 512
     # Batched engine: max lanes serviced by the keyframe stage per frame.
@@ -102,6 +115,13 @@ class FrontendConfig:
     # actual keyframe rate. Lanes beyond the cap defer a frame or two
     # (urgency order: longest-since-keyframe first, so no starvation).
     kf_service_lanes: int = 2
+    # Hard override of the service batch: S = min(B, kf_service_cap) when
+    # > 0 (the ceil(B/4) heuristic is skipped). Service cost is paid per
+    # FIRE, padded to S lanes, and in steady state some lane wants a
+    # keyframe almost every frame-row — so S sets the stage's cost floor
+    # directly. Worth lowering when the per-lane keyframe cadence times B
+    # stays under the cap; the urgency queue absorbs bursts by deferring.
+    kf_service_cap: int = 0
     # Frame-to-frame tracking slot capacity. Only landmark-bearing
     # observations are LK-tracked (reference tracker.cpp:61-62 filters
     # WITH_LANDMARKS); their count is bounded by last-keyframe matches and

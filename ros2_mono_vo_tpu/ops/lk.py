@@ -120,13 +120,29 @@ def _dual_x(x: jnp.ndarray, need: int):
     return o_src, sel, o_src + _SHIFT * sel
 
 
-@functools.partial(jax.jit, static_argnames=("win", "levels", "iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("win", "levels", "iters", "start_level"))
 def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...],
              uv: jnp.ndarray, valid: jnp.ndarray,
-             win: int = 21, levels: int = 4, iters: int = 10) -> FlowResult:
+             win: int = 21, levels: int = 4, iters: int = 10,
+             init_flow: jnp.ndarray | None = None,
+             start_level: int | None = None) -> FlowResult:
     """Track points `uv` [N, 2] from prev to next through the pyramids.
 
     Both pyramids must come from build_lk_pyramid with the same `levels`.
+
+    `init_flow` ([N, 2], level-0 pixels) seeds the search at the predicted
+    displacement instead of zero; with a good prior (e.g. landmarks
+    projected under a constant-velocity pose model, tracker.track_step)
+    the coarse capture levels become redundant and `start_level` can drop
+    below levels-1, skipping their patch gathers and GN iterations — the
+    single biggest per-frame cost cut in the tracker. Capture range around
+    the prior is +-(_DRIFT * 2**start_level + _DRIFT_FINE * ...) pixels;
+    a point whose prior is off by more keeps the prior at the start level
+    (in_patch gate) and retries within the finer levels' headroom.
+    OpenCV's pyrLK has the same two knobs (OPTFLOW_USE_INITIAL_FLOW and
+    maxLevel); the reference leaves them at defaults (tracker.cpp:68-69) —
+    divergence documented in SURVEY section 7.
     """
     r = win // 2
     ext = win + 2                        # window + gradient halo
@@ -137,12 +153,16 @@ def lk_track(prev_pyr: tuple[jnp.ndarray, ...], next_pyr: tuple[jnp.ndarray, ...
     min_eig_thresh = 1e-4 * (win * win)
 
     n = uv.shape[0]
-    flow = jnp.zeros_like(uv)
+    start = levels - 1 if start_level is None else min(start_level, levels - 1)
+    if init_flow is None:
+        flow = jnp.zeros_like(uv)
+    else:
+        flow = init_flow.astype(uv.dtype) / float(2 ** start)
     err = jnp.zeros((n,), uv.dtype)
     ok = valid
 
-    for li in range(levels - 1, -1, -1):
-        drift = _DRIFT if li == levels - 1 else _DRIFT_FINE
+    for li in range(start, -1, -1):
+        drift = _DRIFT if li == start else _DRIFT_FINE
         ph_next = _ceil_to(win + 2 * drift + 2 + sub - 1, sub)
         pc = win + 2 * drift + 2         # compacted next patch (y-slack gone)
         prev_img = prev_pyr[li]                  # [2, h, w] dual copies

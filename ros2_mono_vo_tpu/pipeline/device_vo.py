@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ros2_mono_vo_tpu.config import VOConfig
+from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
 from ros2_mono_vo_tpu.ops.features import (Features, detect_and_describe,
                                            occupancy_grid_check)
 from ros2_mono_vo_tpu.ops.lk import build_lk_pyramid
@@ -48,6 +49,11 @@ class VOCarry(NamedTuple):
     tracking_valid: jnp.ndarray  # scalar bool
     lc_count: jnp.ndarray      # kf_count when a closure was last APPLIED
     #   (cooldown reference — BackendConfig.lc_cooldown_kf)
+    vel_wc: jnp.ndarray        # [4, 4] constant-velocity motion model:
+    #   camera motion of the LAST tracked frame (prev_pose^-1 @ pose), so
+    #   pose_wc @ vel_wc predicts the next frame's pose. Seeds predictive
+    #   LK (tracker.track_step T_pred_wc); identity at init / after
+    #   loss-of-track (prediction falls back to zero motion).
 
 
 class VOStepOut(NamedTuple):
@@ -110,7 +116,6 @@ def _unpack_outs(blob, spec) -> "VOStepOut":
 
 def _rel_to_kf(m, pose_wc):
     """Pose expressed relative to the latest keyframe's (current) pose."""
-    from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
     from ros2_mono_vo_tpu.pipeline.state import last_kf_slot
     return se3_inverse(m.kf_pose_wc[last_kf_slot(m)]) @ pose_wc
 
@@ -154,6 +159,7 @@ def init_carry(cfg: VOConfig, image_shape: tuple[int, int],
         tracking_count=jnp.int32(0),
         tracking_valid=jnp.asarray(False),
         lc_count=jnp.int32(0),
+        vel_wc=jnp.eye(4, dtype=jnp.float32),
     )
 
 
@@ -266,9 +272,15 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
         else:
             k_track, k_kf = jax.random.split(k_frame)
         cur_pyr = build_lk_pyramid(frame, fcfg.lk_levels)
+        T_pred = (c.pose_wc @ c.vel_wc) if fcfg.lk_predictive else None
         res = track_step(c.prev_pyr, cur_pyr, c.prev_obs, c.map, K, k_track,
-                         c.tracking_count + 1, tcfg, fcfg, d=d)
+                         c.tracking_count + 1, tcfg, fcfg, d=d,
+                         T_pred_wc=T_pred)
         lost = res.n_tracked < tcfg.min_tracked_points
+        # motion model from the RAW per-frame poses (before BA/LC nudge
+        # pose_wc — a closure's correction jump is not camera velocity)
+        vel_new = jnp.where(lost, jnp.eye(4, dtype=jnp.float32),
+                            se3_inverse(c.pose_wc) @ res.T_wc)
 
         def do_kf(_):
             return keyframe_step(frame, res.obs, res.T_wc, c.map, K, k_kf,
@@ -295,6 +307,7 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
                 kf_added, 0, jnp.where(lost, c.tracking_count,
                                        c.tracking_count + 1)).astype(jnp.int32),
             tracking_valid=~lost,
+            vel_wc=vel_new,
         )
 
         # ---- local BA at keyframe cadence (roadmap README.md:97 "Local
@@ -304,7 +317,6 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
             from ros2_mono_vo_tpu.backend.window import (extract_window,
                                                          apply_window)
             from ros2_mono_vo_tpu.backend.ba import bundle_adjust
-            from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
             bacfg = cfg.backend
 
             def ba_go(c):
@@ -384,6 +396,7 @@ def tracking_step(carry: VOCarry, frame: jnp.ndarray, K: jnp.ndarray,
             tracking_count=jnp.where(rel.success, 0,
                                      c.tracking_count).astype(jnp.int32),
             tracking_valid=rel.success,
+            vel_wc=jnp.eye(4, dtype=jnp.float32),
         )
         return c, VOStepOut(pose_wc=c.pose_wc, valid=rel.success, mode=mode,
                             n_tracked=rel.n_inliers,
@@ -508,14 +521,26 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
         k_track_b, k_kf_b = ks2[:, 0], ks2[:, 1]
 
     cur_pyr_b = jax.vmap(lambda f: build_lk_pyramid(f, fcfg.lk_levels))(frame_b)
-    res_b = jax.vmap(
-        lambda pyr, cur, obs, m, k, tc: track_step(
-            pyr, cur, obs, m, K, k, tc + 1, tcfg, fcfg, d=d)
-    )(c_b.prev_pyr, cur_pyr_b, c_b.prev_obs, c_b.map, k_track_b,
-      c_b.tracking_count)
+    if fcfg.lk_predictive:
+        T_pred_b = jnp.matmul(c_b.pose_wc, c_b.vel_wc)
+        res_b = jax.vmap(
+            lambda pyr, cur, obs, m, k, tc, tp: track_step(
+                pyr, cur, obs, m, K, k, tc + 1, tcfg, fcfg, d=d,
+                T_pred_wc=tp)
+        )(c_b.prev_pyr, cur_pyr_b, c_b.prev_obs, c_b.map, k_track_b,
+          c_b.tracking_count, T_pred_b)
+    else:
+        res_b = jax.vmap(
+            lambda pyr, cur, obs, m, k, tc: track_step(
+                pyr, cur, obs, m, K, k, tc + 1, tcfg, fcfg, d=d)
+        )(c_b.prev_pyr, cur_pyr_b, c_b.prev_obs, c_b.map, k_track_b,
+          c_b.tracking_count)
 
     tracking_b = c_b.mode == MODE_TRACKING
     lost_b = res_b.n_tracked < tcfg.min_tracked_points
+    eye_b = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    vel_new_b = jnp.where(lost_b[:, None, None], eye_b,
+                          jnp.matmul(se3_inverse(c_b.pose_wc), res_b.T_wc))
     want_b = tracking_b & res_b.kf_wanted & ~lost_b
 
     # Service batch size: the full-vmap service (S == B) paid every lane's
@@ -525,7 +550,8 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
     # track the number of keyframes actually created; lanes beyond the cap
     # defer (their kf_wanted conditions persist) and urgency ordering by
     # tracking_count guarantees a deferred lane eventually wins its slot.
-    S = min(B, max(fcfg.kf_service_lanes, -(-B // 4)))
+    S = (min(B, fcfg.kf_service_cap) if fcfg.kf_service_cap > 0
+         else min(B, max(fcfg.kf_service_lanes, -(-B // 4))))
     inscan_ba = cfg.backend.enable_local_ba and cfg.backend.batched_inscan_ba
 
     def _ba_refine(m_s, pose_s, ok_s):
@@ -537,7 +563,6 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
         from ros2_mono_vo_tpu.backend.window import (extract_window,
                                                      apply_window)
         from ros2_mono_vo_tpu.backend.ba import bundle_adjust
-        from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
         bacfg = cfg.backend
 
         def one(m):
@@ -620,6 +645,7 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
             kf_added_b, 0, jnp.where(lost_b, c_b.tracking_count,
                                      c_b.tracking_count + 1)).astype(jnp.int32),
         tracking_valid=~lost_b,
+        vel_wc=vel_new_b,
     )
 
     # ---- loop closure for lanes that just added a keyframe (cooldown per
@@ -702,6 +728,7 @@ def _batched_tracking_step(c_b: VOCarry, frame_b: jnp.ndarray,
             tracking_count=jnp.where(rel_b.success, 0,
                                      c_b.tracking_count).astype(jnp.int32),
             tracking_valid=rel_b.success,
+            vel_wc=eye_b,
         )
         out_lost = VOStepOut(pose_wc=c_lost.pose_wc, valid=rel_b.success,
                              mode=mode_lost, n_tracked=rel_b.n_inliers,
@@ -738,7 +765,6 @@ def batched_local_ba(carry_b: VOCarry, K: jnp.ndarray, cfg: VOConfig):
     keep their state (select)."""
     from ros2_mono_vo_tpu.backend.window import extract_window, apply_window
     from ros2_mono_vo_tpu.backend.ba import bundle_adjust
-    from ros2_mono_vo_tpu.geometry.se3 import se3_inverse
     from ros2_mono_vo_tpu.pipeline.state import last_kf_slot
     bcfg = cfg.backend
 

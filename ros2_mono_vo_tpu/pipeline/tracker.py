@@ -69,18 +69,48 @@ class KeyframeStepResult(NamedTuple):
 def track_step(prev_pyr, cur_pyr, prev_obs: FrameObs, m: MapState,
                K: jnp.ndarray, key: jax.Array, tracking_count: jnp.ndarray,
                tcfg: TrackerConfig, fcfg: FrontendConfig,
-               d: jnp.ndarray | None = None) -> TrackStepResult:
+               d: jnp.ndarray | None = None,
+               T_pred_wc: jnp.ndarray | None = None) -> TrackStepResult:
     """Per-frame hot path (reference tracker.cpp:289-319).
 
     `d` ([5] plumb-bob coefficients or None for rectified input) is consumed
     only by PnP — exactly the reference's use of `d_` (tracker.cpp:309):
     tracked pixels are undistorted once per frame and PnP runs on ideal
-    pinhole coordinates (geometry/distortion.py)."""
+    pinhole coordinates (geometry/distortion.py).
+
+    `T_pred_wc` ([4, 4] or None): constant-velocity pose prediction for
+    THIS frame. When given and fcfg.lk_predictive, every tracked landmark
+    is projected under it and LK starts at fcfg.lk_start_level from the
+    predicted displacement instead of running the full coarse-to-fine
+    capture from zero (ops/lk.lk_track docstring). Slots without a live
+    landmark fall back to the mean predicted flow (a pure-translation
+    estimate — better than zero, exact for distant points)."""
     L = m.lm_valid.shape[0]
     track_valid = prev_obs.valid & (prev_obs.lm_id >= 0)
-    flow = lk_track(prev_pyr, cur_pyr, prev_obs.uv, track_valid,
-                    win=fcfg.lk_window, levels=fcfg.lk_levels,
-                    iters=fcfg.lk_iterations)
+    ids0 = jnp.clip(prev_obs.lm_id, 0, L - 1)
+    if T_pred_wc is not None and fcfg.lk_predictive:
+        from ros2_mono_vo_tpu.geometry.projection import project_points
+        pred_ok = track_valid & m.lm_valid[ids0]
+        uv_pred, z_pred = project_points(K, se3_inverse(T_pred_wc),
+                                         m.lm_xyz[ids0])
+        pred_ok = pred_ok & (z_pred > 1e-3)
+        init_flow = uv_pred - prev_obs.uv
+        nv = jnp.maximum(jnp.sum(pred_ok), 1)
+        mean_flow = (jnp.sum(jnp.where(pred_ok[:, None], init_flow, 0.0), 0)
+                     / nv)
+        init_flow = jnp.where(pred_ok[:, None], init_flow, mean_flow)
+        # a wild prior (bad depth / degenerate prediction) must not fling
+        # the patch gather off-image: the in_patch gate recovers anything
+        # within the finer levels' headroom anyway
+        init_flow = jnp.clip(jnp.nan_to_num(init_flow), -80.0, 80.0)
+        flow = lk_track(prev_pyr, cur_pyr, prev_obs.uv, track_valid,
+                        win=fcfg.lk_window, levels=fcfg.lk_levels,
+                        iters=fcfg.lk_iterations, init_flow=init_flow,
+                        start_level=fcfg.lk_start_level)
+    else:
+        flow = lk_track(prev_pyr, cur_pyr, prev_obs.uv, track_valid,
+                        win=fcfg.lk_window, levels=fcfg.lk_levels,
+                        iters=fcfg.lk_iterations)
     good = flow.status & (flow.err < tcfg.tracking_error_thresh) & track_valid
     n_tracked = jnp.sum(good)
 
@@ -253,12 +283,16 @@ class Tracker:
         self.prev_pyr = None
         self.prev_obs: Optional[FrameObs] = None
         self.tracking_count = 0
+        self._last_pose = jnp.eye(4, dtype=jnp.float32)
+        self._vel = jnp.eye(4, dtype=jnp.float32)
 
     def reset(self) -> None:
         self.state = TrackerState.INITIALIZING
         self.prev_pyr = None
         self.prev_obs = None
         self.tracking_count = 0
+        self._last_pose = jnp.eye(4, dtype=jnp.float32)
+        self._vel = jnp.eye(4, dtype=jnp.float32)
 
     def seed(self, pyr, obs: FrameObs) -> None:
         """Seed from the initializer's reference frame (the TRACKING
@@ -267,6 +301,8 @@ class Tracker:
         self.prev_obs = compact_obs(obs, self.fcfg.max_track_points)
         self.state = TrackerState.TRACKING
         self.tracking_count = 0
+        self._last_pose = jnp.eye(4, dtype=jnp.float32)
+        self._vel = jnp.eye(4, dtype=jnp.float32)
 
     def update(self, image: jnp.ndarray, m: MapState, K: jnp.ndarray,
                key: jax.Array):
@@ -280,6 +316,8 @@ class Tracker:
                     self.prev_obs = rel.obs
                     self.state = TrackerState.TRACKING
                     self.tracking_count = 0
+                    self._last_pose = jnp.asarray(rel.T_wc)
+                    self._vel = jnp.eye(4, dtype=jnp.float32)
                     return m, rel.T_wc, {"state": self.state,
                                          "relocalized": True,
                                          "n_inliers": int(rel.n_inliers)}
@@ -291,9 +329,15 @@ class Tracker:
 
         cur_pyr = build_lk_pyramid(image, self.fcfg.lk_levels)
         k_track, k_kf = jax.random.split(key)
+        # constant-velocity prediction (same model as the device engines'
+        # VOCarry.vel_wc; identity until two tracked frames exist)
+        T_pred = None
+        if self.fcfg.lk_predictive:
+            T_pred = self._last_pose @ self._vel
         res = track_step(self.prev_pyr, cur_pyr, self.prev_obs, m, K,
                          k_track, jnp.int32(self.tracking_count),
-                         self.tcfg, self.fcfg, d=self.d)
+                         self.tcfg, self.fcfg, d=self.d,
+                         T_pred_wc=T_pred)
         # one fused device->host fetch for all control scalars (the tunnel
         # to the TPU makes separate fetches expensive)
         n_tracked, n_pnp, kf_wanted = jax.device_get(
@@ -304,6 +348,9 @@ class Tracker:
             return m, None, {"state": self.state, "n_tracked": n_tracked}
 
         self.tracking_count += 1
+        from ros2_mono_vo_tpu.geometry.se3 import se3_inverse as _inv
+        self._vel = _inv(self._last_pose) @ res.T_wc
+        self._last_pose = res.T_wc
         obs = res.obs
         info = {"state": self.state, "n_tracked": n_tracked,
                 "n_pnp_inliers": int(n_pnp),
